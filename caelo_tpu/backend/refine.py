@@ -1,0 +1,257 @@
+"""Pose-refinement back end: de-jump, keyframe transfer chains, ICP refit.
+
+Host-side sequential control (cheap pose algebra in float64 numpy) around
+jitted device kernels (the hybrid ICP), mirroring the reference's
+``RefinePoses.py`` pipeline:
+
+* **de-jump** (``FixJumpPoses``, ``:233-262``): detect inter-frame motion
+  discontinuities (>2 deg or >0.5 m change in the relative motion) and
+  replace the offending step with constant-velocity propagation, then
+  forward-propagate.
+* **keyframe selection by inlier transfer** (``RefineOdometry``,
+  ``:357-400``): chain RANSAC inlier indices across consecutive pairs until
+  the track dies (>=1 shared pair, <=20 frames).
+* **refinement core** (``:273-334``): re-register keyframe pairs with
+  extended keypoints + hybrid ICP, accept only if the correction is < 10 deg
+  and < 5 m, then forward-update the trajectory.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Sequence
+
+import numpy as np
+
+from ..config import RefineConfig
+
+
+# ---------------------------------------------------------------- pose utils
+def _rt(pose):
+    P = np.asarray(pose, np.float64).reshape(3, 4)
+    return P[:, :3], P[:, 3]
+
+
+def _row(R, t):
+    return np.concatenate([R, t.reshape(3, 1)], axis=1).reshape(12)
+
+
+def _rel(pose0, pose1):
+    R0, t0 = _rt(pose0)
+    R1, t1 = _rt(pose1)
+    R = R0.T @ R1
+    t = R0.T @ (t1 - t0)
+    return R, t
+
+
+def _euler_deg(R):
+    ax = np.degrees(np.arctan2(R[2, 1], R[2, 2]))
+    ay = np.degrees(np.arctan2(-R[2, 0], np.hypot(R[2, 1], R[2, 2])))
+    az = np.degrees(np.arctan2(R[1, 0], R[0, 0]))
+    return np.array([ax, ay, az])
+
+
+def _all_rels(poses):
+    Rs, ts = [], []
+    for i in range(len(poses) - 1):
+        R, t = _rel(poses[i], poses[i + 1])
+        Rs.append(R)
+        ts.append(t)
+    return np.array(Rs), np.array(ts)
+
+
+def forward_update(poses, frame, new_pose, rel_Rs, rel_ts):
+    """Replace ``poses[frame]`` and re-chain all later frames with the stored
+    relative motions (``ForwardUpdatePoses``, ``RefinePoses.py:120-145``)."""
+    poses = poses.copy()
+    rel_Rs = rel_Rs.copy()
+    rel_ts = rel_ts.copy()
+    poses[frame] = new_pose
+    if frame > 0:
+        rel_Rs[frame - 1], rel_ts[frame - 1] = _rel(poses[frame - 1], new_pose)
+    for i in range(frame + 1, len(poses)):
+        R0, t0 = _rt(poses[i - 1])
+        R = R0 @ rel_Rs[i - 1]
+        t = R0 @ rel_ts[i - 1] + t0
+        poses[i] = _row(R, t)
+    return poses, rel_Rs, rel_ts
+
+
+def backward_update(poses, frame0, frame1, new_pose, rel_Rs, rel_ts):
+    """Distribute a correction of ``poses[frame1]`` smoothly over the frames
+    in (frame0, frame1] (``BackwardUpdatePoses``, ``RefinePoses.py:149-229``
+    — present but disabled in the reference; here it is a first-class op).
+
+    The total pose delta is split into equal per-frame Euler/translation
+    increments in the frame0-relative frame, and each stored relative motion
+    is adjusted so the chain ends exactly at ``new_pose``.
+    """
+    poses = poses.copy()
+    rel_Rs = rel_Rs.copy()
+    rel_ts = rel_ts.copy()
+    n = frame1 - frame0
+    assert n >= 1
+    R0, t0 = _rt(poses[frame0])
+    Rn, tn = _rt(new_pose)
+    # target relative transform frame0 -> new frame1
+    Rt = R0.T @ Rn
+    tt = R0.T @ (tn - t0)
+    # current relative transform frame0 -> frame1
+    Rc, tc = _rel(poses[frame0], poses[frame1])
+    # delta to distribute, expressed in the frame0 frame
+    dR = Rc.T @ Rt
+    d_euler = np.radians(_euler_deg(dR)) / n
+    d_t = (tt - tc) / n
+    from scipy.spatial.transform import Rotation
+
+    prev_R, prev_t = np.eye(3), np.zeros(3)
+    for k in range(1, n + 1):
+        # interpolated target relative transform frame0 -> frame0+k
+        Rk_chain, tk_chain = np.eye(3), np.zeros(3)
+        for j in range(frame0, frame0 + k):
+            Rk_chain, tk_chain = (
+                Rk_chain @ rel_Rs[j],
+                Rk_chain @ rel_ts[j] + tk_chain,
+            )
+        frac_R = Rotation.from_euler("xyz", d_euler * k).as_matrix()
+        Rk = Rk_chain @ frac_R
+        tk = tk_chain + d_t * k
+        # new relative motion for step k
+        rel_Rs[frame0 + k - 1] = prev_R.T @ Rk
+        rel_ts[frame0 + k - 1] = prev_R.T @ (tk - prev_t)
+        prev_R, prev_t = Rk, tk
+        Rp, tp = _rt(poses[frame0 + k - 1])
+        poses[frame0 + k] = _row(
+            Rp @ rel_Rs[frame0 + k - 1], Rp @ rel_ts[frame0 + k - 1] + tp
+        )
+    # exactness check (reference asserts verifyNorm < 0.01, :222-226)
+    Rv, tv = _rel(poses[frame1], new_pose)
+    assert np.linalg.norm(_euler_deg(Rv)) < 1e-6 and np.linalg.norm(tv) < 1e-6
+    return poses, rel_Rs, rel_ts
+
+
+def fix_jump_poses(poses, cfg: RefineConfig = RefineConfig()):
+    """De-jump a trajectory (``FixJumpPoses``, ``RefinePoses.py:233-262``).
+
+    A jump is a frame where the relative motion changes by more than
+    ``jump_euler_deg`` / ``jump_trans_m`` w.r.t. the previous step; it is
+    replaced by constant-velocity propagation and the chain re-run.
+    """
+    poses = np.asarray(poses, np.float64).copy()
+    fixed = []
+    rel_Rs, rel_ts = _all_rels(poses)
+    i = 2
+    while i < len(poses) - 1:
+        eul = np.array([_euler_deg(R) for R in rel_Rs])
+        d_eul = np.linalg.norm(
+            np.abs(eul[1:]) - np.abs(eul[:-1]), axis=1
+        )
+        d_t = np.linalg.norm(
+            np.abs(rel_ts[1:]) - np.abs(rel_ts[:-1]), axis=1
+        )
+        if d_eul[i - 2] > cfg.jump_euler_deg or d_t[i - 2] > cfg.jump_trans_m:
+            R0, t0 = _rt(poses[i - 1])
+            R = R0 @ rel_Rs[i - 2]
+            t = R0 @ rel_ts[i - 2] + t0
+            poses, rel_Rs, rel_ts = forward_update(
+                poses, i, _row(R, t), rel_Rs, rel_ts
+            )
+            rel_Rs, rel_ts = _all_rels(poses)
+            fixed.append(i)
+        i += 1
+    return poses, fixed
+
+
+def transfer_pair_chain(inlier_idx_pairs: Sequence, start: int,
+                        max_frames: int = 20, min_pairs: int = 1):
+    """Chain RANSAC inlier indices across consecutive pairs to find the
+    longest keyframe span starting at ``start``
+    (``RefineOdometry``/``GetTransferPairIdx``, ``RefinePoses.py:102-114,
+    374-400``).
+
+    Args:
+      inlier_idx_pairs: list over frames of ``(idx0, idx1)`` int arrays —
+        the RANSAC inlier keypoint indices of pair (k, k+1).
+      start: first frame of the chain.
+
+    Returns ``(end_frame, n_surviving_tracks)``.
+    """
+    idx0, idx1 = inlier_idx_pairs[start]
+    track = np.asarray(idx1)
+    end = start + 1
+    while end < len(inlier_idx_pairs) + 1 - 1:
+        if end - start >= max_frames:
+            break
+        if end >= len(inlier_idx_pairs):
+            break
+        nxt0, nxt1 = inlier_idx_pairs[end]
+        nxt0 = np.asarray(nxt0)
+        common, ia, ib = np.intersect1d(track, nxt0, return_indices=True)
+        if common.size < min_pairs:
+            break
+        track = np.asarray(nxt1)[ib]
+        end += 1
+    return end, int(track.size)
+
+
+@dataclasses.dataclass
+class RefineStats:
+    refined: List = dataclasses.field(default_factory=list)
+    failed: List = dataclasses.field(default_factory=list)
+    rejected: List = dataclasses.field(default_factory=list)
+
+
+def refine_odometry(poses, icp_fn: Callable, rel_lidar_fn: Callable,
+                    apply_rel_fn: Callable,
+                    inlier_idx_pairs: Sequence | None = None,
+                    cfg: RefineConfig = RefineConfig(),
+                    start_frame: int = 0):
+    """Keyframe refinement loop (``RefineOdometry``, ``RefinePoses.py:338-464``).
+
+    Abstracts the device work behind callables so the chain logic is testable
+    without data:
+      icp_fn(f0, f1, relR, relT) -> (dR, dt, success): ICP correction of the
+        odometry-predicted relative pose between frames f0, f1.
+      rel_lidar_fn(pose0, pose1) -> (R, t): lidar-frame relative pose.
+      apply_rel_fn(pose0, relR, relT) -> new pose row for frame1.
+    """
+    poses = np.asarray(poses, np.float64).copy()
+    rel_Rs, rel_ts = _all_rels(poses)
+    stats = RefineStats()
+    i = start_frame
+    end_limit = len(poses) - 2
+    max_transfer = cfg.max_transfer_frames
+    while i < end_limit:
+        if inlier_idx_pairs is not None:
+            j, _ = transfer_pair_chain(
+                inlier_idx_pairs, i, max_frames=max_transfer
+            )
+        else:
+            j = i + 1
+        relR, relT = rel_lidar_fn(poses[i], poses[j])
+        dR, dt, ok = icp_fn(i, j, relR, relT)
+        if not ok:
+            if j - i > 1:
+                max_transfer = 1   # retry with the shortest span
+                continue
+            stats.failed.append((i, j))
+            max_transfer = cfg.max_transfer_frames
+            i += 1
+            continue
+        newR = dR @ relR
+        newT = dR @ relT + dt
+        d_eul = np.linalg.norm(_euler_deg(relR) - _euler_deg(newR))
+        d_tr = np.linalg.norm(relT - newT)
+        if d_eul > cfg.accept_euler_deg or d_tr > cfg.accept_trans_m:
+            if j - i > 1:
+                max_transfer = 1
+                continue
+            stats.rejected.append((i, j))
+            max_transfer = cfg.max_transfer_frames
+            i += 1
+            continue
+        new_pose = apply_rel_fn(poses[i], newR, newT)
+        poses, rel_Rs, rel_ts = forward_update(poses, j, new_pose, rel_Rs, rel_ts)
+        stats.refined.append((i, j))
+        max_transfer = cfg.max_transfer_frames
+        i = j
+    return poses, stats

@@ -1,0 +1,222 @@
+"""Static pipeline configuration for the CAE-LO TPU framework.
+
+The reference keeps all of this as module-level constants-as-code scattered over
+``Dirs.py``, ``SphericalRing.py:27-68`` and ``Voxel.py:14-52`` with no CLI or
+config system.  Here every constant lives in frozen dataclasses so that
+
+* jitted functions can close over them as *static* Python values (no traced
+  shapes ever depend on them),
+* the CLI (``caelo_tpu.cli``) can override them coherently,
+* tests can construct scaled-down variants.
+
+All shapes derived here are static so XLA sees fixed-shape programs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Velodyne HDL-64 spherical-ring intrinsics.
+
+    Mirrors the constants of reference ``SphericalRing.py:33-58``: 64 beam
+    lines, 0.2 deg azimuth resolution, vertical FOV [-24.8, +2.0] deg, a
+    5-row safety margin on top and an 8-column crop on the right.
+    """
+
+    n_lines: int = 64
+    azimuth_res_deg: float = 0.20
+    vertical_view_down_deg: float = -24.8
+    vertical_view_up_deg: float = 2.0
+    safe_edge_top: int = 5
+    crop_width: int = 8            # CropWidth_SphericalRing
+    edge_filter: int = 8           # Size4FilterTopEdge
+    visible_bottom: float = 10.0   # min keypoint range (m)
+    visible_range: float = 100.0
+
+    @property
+    def azimuth_res(self) -> float:
+        return math.radians(self.azimuth_res_deg)
+
+    @property
+    def vertical_res(self) -> float:
+        return (
+            math.radians(self.vertical_view_up_deg)
+            - math.radians(self.vertical_view_down_deg)
+        ) / (self.n_lines - 1)
+
+    @property
+    def vertical_pixel_offset(self) -> float:
+        return -math.radians(self.vertical_view_down_deg) / self.vertical_res
+
+    @property
+    def img_h(self) -> int:
+        # ImgH = nLines + SafeEdgeWidth4Top (SphericalRing.py:56)
+        return self.n_lines + self.safe_edge_top
+
+    @property
+    def img_w(self) -> int:
+        # ImgW = 360deg / azimuth resolution (SphericalRing.py:57)
+        return int(round(2.0 * math.pi / self.azimuth_res))
+
+    @property
+    def model_h(self) -> int:
+        """Height of the image fed to the respond net (rows 0..n_lines)."""
+        return self.n_lines
+
+    @property
+    def model_w(self) -> int:
+        """Width of the image fed to the respond net (cols 0..img_w-crop)."""
+        return self.img_w - self.crop_width
+
+
+@dataclasses.dataclass(frozen=True)
+class KeypointConfig:
+    """Saliency / NMS parameters (reference ``SphericalRing.py:113-218``)."""
+
+    n_keypoints: int = 1024          # nFixedKeyPts
+    window: int = 5                  # 5x5 neighborhood
+    min_neighbors: int = 5           # occupied-neighbor gate
+    norm_diff_threshold: float = 0.2
+    extend_radius: int = 6           # 13x13 window for extended keypoints
+    max_extended: int = 32768        # fixed-size buffer for extended keypoints
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelConfig:
+    """Three-scale voxel pyramid (reference ``Voxel.py:14-52``).
+
+    Scene bounds +-100 x +-100 x +-15 m, base voxel 0.02 m, scale ratios
+    1/8/32, blocks of 64 voxels (1.28 m).  All capacities are padded static
+    sizes for TPU-friendly fixed shapes.
+    """
+
+    voxel_size: float = 0.02
+    scale_ratios: Tuple[int, int, int] = (1, 8, 32)
+    patch_size: int = 16
+    block_size: int = 64
+    visible_length: float = 100.0   # +-x
+    visible_width: float = 100.0    # +-y
+    visible_height: float = 15.0    # +-z
+    # static per-scale capacities for the deduped occupied-voxel lists
+    max_voxels: Tuple[int, int, int] = (131072, 65536, 16384)
+    # per-scale neighbor candidates for patch gather (reference used 496-NN,
+    # Voxel.py:182; we use an MXU-friendly 512 via approx_max_k)
+    patch_knn: int = 512
+
+    @property
+    def voxel_sizes(self) -> Tuple[float, float, float]:
+        return tuple(self.voxel_size * r for r in self.scale_ratios)
+
+    @property
+    def block_real_size(self) -> float:
+        return self.voxel_size * self.block_size
+
+    @property
+    def n_blocks(self) -> Tuple[int, int, int]:
+        return (
+            int(2 * self.visible_length / self.block_real_size),
+            int(2 * self.visible_width / self.block_real_size),
+            int(2 * self.visible_height / self.block_real_size),
+        )
+
+    @property
+    def grid_shape0(self) -> Tuple[int, int, int]:
+        nb = self.n_blocks
+        return tuple(n * self.block_size for n in nb)
+
+    def grid_shape(self, scale: int) -> Tuple[int, int, int]:
+        g = self.grid_shape0
+        r = self.scale_ratios[scale]
+        return tuple(s // r for s in g)
+
+    @property
+    def patch_radius(self) -> int:
+        return self.patch_size // 2
+
+    @property
+    def crop_blocks(self) -> int:
+        # CropBlocks = ScaleRatios[2]*PatchRadius/BlockSize (Voxel.py:41)
+        return int(self.scale_ratios[2] * self.patch_radius / self.block_size)
+
+    @property
+    def origin(self) -> Tuple[float, float, float]:
+        """World coordinate of voxel (0,0,0) corner."""
+        return (-self.visible_length, -self.visible_width, -self.visible_height)
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Batched-RANSAC parameters.
+
+    Semantics follow reference ``Match.py:162-218``: 4-point hypotheses,
+    residual threshold 0.4 m escalating x2 up to 1.6, >=max(100, 20%)
+    inliers to accept, least-squares refit on the final inlier set.  The
+    reference runs 100-500 *sequential* trials; we evaluate a fixed batch of
+    hypotheses for every threshold rung in parallel on the MXU.
+    """
+
+    n_hypotheses: int = 512
+    sample_size: int = 4
+    residual_thresholds: Tuple[float, float, float] = (0.4, 0.8, 1.6)
+    min_inlier_abs: int = 100
+    min_inlier_frac: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """ICP parameters (reference ``MyICP.py:28-201``)."""
+
+    max_iters: int = 30
+    inlier_threshold: float = 0.5
+    plane_inlier_threshold: float = 2.0
+    decay: float = 0.9
+    plane_decay: float = 0.5
+    small_shift_threshold: float = 0.05
+    epsilon: float = 1e-3
+    min_inliers: int = 100
+    max_points: int = 8192           # fixed-size subsample per cloud
+    max_planar: int = 2048           # reference nMaxPts=2000, rounded up
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    """Pose-refinement back-end gates (reference ``RefinePoses.py``)."""
+
+    jump_euler_deg: float = 2.0      # de-jump detection (RefinePoses.py:239)
+    jump_trans_m: float = 0.5
+    accept_euler_deg: float = 10.0   # refinement acceptance (RefinePoses.py:309)
+    accept_trans_m: float = 5.0
+    max_transfer_frames: int = 20    # keyframe chain cap (RefinePoses.py:374-400)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    sensor: SensorConfig = SensorConfig()
+    keypoint: KeypointConfig = KeypointConfig()
+    voxel: VoxelConfig = VoxelConfig()
+    ransac: RansacConfig = RansacConfig()
+    icp: IcpConfig = IcpConfig()
+    refine: RefineConfig = RefineConfig()
+    max_points: int = 131072         # padded scan size (KITTI ~120k pts)
+    descriptor_dim: int = 60         # 3 scales x 20-dim code
+
+
+DEFAULT_CONFIG = PipelineConfig()
+
+
+def small_test_config() -> PipelineConfig:
+    """A scaled-down config for fast CPU tests (same code paths)."""
+    return PipelineConfig(
+        voxel=VoxelConfig(max_voxels=(16384, 8192, 2048), patch_knn=128),
+        ransac=RansacConfig(n_hypotheses=128),
+        icp=IcpConfig(max_points=1024, max_planar=256, max_iters=10),
+        max_points=16384,
+    )

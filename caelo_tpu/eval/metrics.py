@@ -1,0 +1,137 @@
+"""Evaluation metrics: RRE/RTE/success-rate, ATE, keypoint repeatability.
+
+Matches the reference's metric definitions so pose files are comparable
+bit-for-bit with its golden artifact (``Evaluation Result/
+EvaluationResults.mat``):
+
+* per-pair errors are computed on *lidar-frame relative* poses
+  (``Visualization.GetErrorRTs``, ``Visualization.py:164-248``);
+* RRE = sum of |XYZ Euler error components| in degrees, RTE = ||t error||
+  (``EvaluationOnRegistration.py:108-130``);
+* success = RRE < 1 deg AND RTE < 0.5 m (``EvaluationOnRegistration.py:23-24``);
+* keypoint repeatability histograms (``EvaluationOnKeypts.py:68-140``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3
+from ..geometry.kitti_pose import poses_to_rt, rel_pose_lidar
+
+
+class RegistrationErrors(NamedTuple):
+    rre_deg: jnp.ndarray       # (N-1,) sum-abs Euler error
+    rte_m: jnp.ndarray         # (N-1,) translation error norm
+    euler_err: jnp.ndarray     # (N-1, 3)
+    t_err: jnp.ndarray         # (N-1, 3)
+
+
+def relative_pose_errors(poses_gt, poses_est, R_tr, t_tr) -> RegistrationErrors:
+    """Frame-to-frame lidar-frame relative-pose errors between two
+    trajectories (both as (N, 12) KITTI rows)."""
+    def rels(poses):
+        return rel_pose_lidar(poses[:-1], poses[1:], R_tr, t_tr)
+
+    Rg, tg = rels(jnp.asarray(poses_gt))
+    Re, te = rels(jnp.asarray(poses_est))
+    # errorR = inv(R_est) @ R_gt, expressed as XYZ Euler degrees
+    errR = jnp.swapaxes(Re, -1, -2) @ Rg
+    euler_err = se3.rotmat_to_euler_xyz_deg(errR)
+    t_err = te - tg
+    return RegistrationErrors(
+        rre_deg=jnp.sum(jnp.abs(euler_err), axis=-1),
+        rte_m=jnp.linalg.norm(t_err, axis=-1),
+        euler_err=euler_err,
+        t_err=t_err,
+    )
+
+
+def registration_summary(errors: RegistrationErrors,
+                         rre_threshold: float = 1.0,
+                         rte_threshold: float = 0.5) -> dict:
+    """The 7-column row of ``EvaluationResults.mat`` minus the RANSAC stats
+    (those come from the front end): RRE, stdRRE, RTE, stdRTE, success."""
+    rre = np.asarray(errors.rre_deg)
+    rte = np.asarray(errors.rte_m)
+    ok = (rre < rre_threshold) & (rte < rte_threshold)
+    return {
+        "rre_deg": float(rre.mean()),
+        "rre_std": float(rre.std()),
+        "rte_m": float(rte.mean()),
+        "rte_std": float(rte.std()),
+        "success_rate": float(ok.mean()),
+        "n_pairs": int(rre.shape[0]),
+    }
+
+
+def absolute_trajectory_error(poses_gt, poses_est) -> dict:
+    """ATE on trajectory translations (after Horn alignment of the two
+    trajectories — the standard SLAM ATE; the reference plots trajectories
+    but never computes ATE, the driver's north star requires it)."""
+    _, tg = poses_to_rt(jnp.asarray(poses_gt))
+    _, te = poses_to_rt(jnp.asarray(poses_est))
+    R, t = se3.solve_rigid_horn(tg[None], te[None])
+    te_aligned = se3.apply(R[0], t[0], te[None])[0]
+    err = jnp.linalg.norm(te_aligned - tg, axis=-1)
+    return {
+        "ate_rmse": float(jnp.sqrt(jnp.mean(err**2))),
+        "ate_mean": float(jnp.mean(err)),
+        "ate_max": float(jnp.max(err)),
+    }
+
+
+def keypoint_repeatability(kp0, mask0, kp1, mask1, R01, t01,
+                           bins=None) -> dict:
+    """Repeatability of consecutive-frame keypoints: transform frame-1
+    keypoints into frame 0 with the GT relative pose, histogram NN distances
+    (``EvaluationOnKeypts.py:68-81,111-140``; bins 0.1..6.4 m doubling)."""
+    from ..backend.icp import nearest_neighbors
+
+    kp1w = se3.apply(jnp.asarray(R01), jnp.asarray(t01), kp1[None])[0]
+    _, dist = nearest_neighbors(kp1w, mask1, kp0, mask0)
+    d = np.asarray(dist)[np.asarray(mask1)]
+    if bins is None:
+        bins = [0.1 * 2**i for i in range(7)]  # 0.1 .. 6.4
+    counts = [(d < b).mean() for b in bins]
+    return {"bins_m": list(bins), "fraction_within": counts,
+            "median_m": float(np.median(d)) if d.size else float("nan")}
+
+
+def kitti_drift(poses_gt, poses_est,
+                lengths=(100, 200, 300, 400, 500, 600, 700, 800)) -> dict:
+    """KITTI odometry devkit-style translational/rotational drift: average
+    error of subsequences of fixed path lengths.  (The reference defers this
+    to the KITTI server, ``README.md:19``; we compute it locally.)"""
+    Rg, tg = (np.asarray(a) for a in poses_to_rt(jnp.asarray(poses_gt)))
+    Re, te = (np.asarray(a) for a in poses_to_rt(jnp.asarray(poses_est)))
+    # cumulative GT path length
+    step = np.linalg.norm(np.diff(tg, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(step)])
+    t_errs, r_errs = [], []
+    for L in lengths:
+        starts = range(0, len(cum) - 1, 10)
+        for i in starts:
+            js = np.searchsorted(cum, cum[i] + L)
+            if js >= len(cum):
+                break
+            j = int(js)
+            dRg = Rg[i].T @ Rg[j]
+            dtg = Rg[i].T @ (tg[j] - tg[i])
+            dRe = Re[i].T @ Re[j]
+            dte = Re[i].T @ (te[j] - te[i])
+            errR = dRe.T @ dRg
+            ang = np.degrees(
+                np.arccos(np.clip((np.trace(errR) - 1) / 2, -1, 1))
+            )
+            t_errs.append(np.linalg.norm(dte - dtg) / L)
+            r_errs.append(ang / L)
+    if not t_errs:
+        return {"t_rel_pct": float("nan"), "r_rel_deg_per_m": float("nan")}
+    return {
+        "t_rel_pct": float(np.mean(t_errs) * 100.0),
+        "r_rel_deg_per_m": float(np.mean(r_errs)),
+    }

@@ -1,0 +1,96 @@
+"""End-to-end frame feature extraction and pairwise registration.
+
+The TPU-native equivalent of the reference's per-frame front-end chain
+(``Match.py`` demo ``:286-349`` / ``PoseEstimation.GetRelativePoseBetween2-
+Frames`` ``:152-168``):
+
+  scan -> spherical ring -> respond net -> NMS top-1024 -> voxel pyramid ->
+  multi-scale patches -> encoder -> 60-dim descriptors -> NN matching ->
+  batched RANSAC -> refit pose.
+
+Unlike the reference (whose inter-stage contract is .mat files on disk),
+``extract_frame_features`` is ONE jitted device function per frame and
+``register_pair`` one more per pair — the stage boundary is VMEM/HBM, not the
+filesystem.  Artifact caching for restartability lives in
+``caelo_tpu.data.artifacts`` instead of being baked into the pipeline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..models.patch_encoder import PatchEncoder
+from ..models.respond_net import RespondLayer
+from ..ops.nms import select_keypoints
+from ..projection.spherical import model_input, project_to_spherical_ring
+from ..voxel.grid import extract_patches, voxelize
+from .matching import match_descriptors
+from .ransac import RansacResult, ransac_rigid
+
+
+class FrameFeatures(NamedTuple):
+    """Per-frame keypoints + descriptors (fixed shapes, mask-padded)."""
+
+    key_pts: jnp.ndarray      # (K, 3)
+    descriptors: jnp.ndarray  # (K, 60)
+    mask: jnp.ndarray         # (K,) bool
+    key_pixels: jnp.ndarray   # (K, 2) int32
+
+
+class PairRegistration(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    success: jnp.ndarray
+    inlier_idx0: jnp.ndarray   # (K,) int32 — frame-0 keypoint index per pair
+    inlier_idx1: jnp.ndarray   # (K,) int32 — frame-1 keypoint index per pair
+    inlier_mask: jnp.ndarray   # (K,) bool
+    n_inliers: jnp.ndarray
+    threshold: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
+                           mask: jnp.ndarray,
+                           cfg: PipelineConfig = PipelineConfig()
+                           ) -> FrameFeatures:
+    """Full per-frame front end: padded scan -> keypoints + descriptors."""
+    image, counter = project_to_spherical_ring(pts, mask, cfg.sensor)
+    net_in = model_input(image, cfg.sensor)[None]
+    respond = RespondLayer().apply(respond_params, net_in)[0]
+    key_pts, key_pixels, key_mask, _ = select_keypoints(
+        image, counter, respond, cfg.sensor, cfg.keypoint
+    )
+    pyramid = voxelize(pts[:, :3], mask, cfg.voxel)
+    patches = extract_patches(key_pts, key_mask, pyramid, cfg.voxel)
+    enc = PatchEncoder()
+    codes = [enc.apply(encoder_params, p) for p in patches]
+    descriptors = jnp.concatenate(codes, axis=-1)
+    descriptors = jnp.where(key_mask[:, None], descriptors, 0.0)
+    return FrameFeatures(key_pts, descriptors, key_mask, key_pixels)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_pair(key: jax.Array, f0: FrameFeatures, f1: FrameFeatures,
+                  cfg: PipelineConfig = PipelineConfig()) -> PairRegistration:
+    """Estimate the rigid transform mapping frame-1 points into frame 0
+    (``SolveRelativePose``, ``Match.py:241-283``)."""
+    pair_idx, pair_mask, _ = match_descriptors(
+        f0.descriptors, f0.mask, f1.descriptors, f1.mask
+    )
+    pairs0 = f0.key_pts[pair_idx]
+    pairs1 = f1.key_pts
+    res: RansacResult = ransac_rigid(key, pairs0, pairs1, pair_mask, cfg.ransac)
+    return PairRegistration(
+        R=res.R,
+        t=res.t,
+        success=res.success,
+        inlier_idx0=pair_idx,
+        inlier_idx1=jnp.arange(pairs1.shape[0], dtype=jnp.int32),
+        inlier_mask=res.inlier_mask,
+        n_inliers=res.n_inliers,
+        threshold=res.threshold,
+    )

@@ -1,0 +1,233 @@
+"""Batched SE(3) / rotation algebra in JAX.
+
+TPU-native replacement for the reference's per-matrix numpy loops in
+``Transformations.py`` (Euler/quaternion/axis-angle converters at
+:181-272, relative-pose algebra at :94-150).  Everything here is pure
+``jnp``, shape-polymorphic over leading batch dimensions, and jit/vmap
+friendly.
+
+Conventions (matching the reference):
+* A rigid transform is an ``(R, t)`` pair with ``R`` of shape ``(..., 3, 3)``
+  and ``t`` of shape ``(..., 3)``; it maps points ``x -> R @ x + t``.
+* Euler extraction is the XYZ convention in *degrees*
+  (``Transformations.py:181-186``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+RADIAN2DEGREE = 180.0 / jnp.pi
+
+
+def apply(R: jnp.ndarray, t: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply ``x -> R x + t`` to points of shape ``(..., N, 3)``."""
+    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+
+
+def compose(R1, t1, R2, t2):
+    """Return the transform equal to applying (R2, t2) first, then (R1, t1)."""
+    return R1 @ R2, jnp.einsum("...ij,...j->...i", R1, t2) + t1
+
+
+def inverse(R, t):
+    Rin = jnp.swapaxes(R, -1, -2)
+    return Rin, -jnp.einsum("...ij,...j->...i", Rin, t)
+
+
+def rotmat_to_euler_xyz_deg(R: jnp.ndarray) -> jnp.ndarray:
+    """XYZ Euler angles in degrees (reference ``RotateMat2EulerAngle_XYZ``,
+    ``Transformations.py:181-186``)."""
+    ax = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
+    ay = jnp.arctan2(
+        -R[..., 2, 0], jnp.sqrt(R[..., 2, 1] ** 2 + R[..., 2, 2] ** 2)
+    )
+    az = jnp.arctan2(R[..., 1, 0], R[..., 0, 0])
+    return jnp.stack([ax, ay, az], axis=-1) * RADIAN2DEGREE
+
+
+def euler_xyz_to_rotmat(angles_rad: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix R = Rz @ Ry @ Rx from XYZ Euler angles in radians
+    (reference ``EulerAngle2RotateMat`` with sequence 'xyz',
+    ``Transformations.py:188-211``)."""
+    ax, ay, az = angles_rad[..., 0], angles_rad[..., 1], angles_rad[..., 2]
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    one = jnp.ones_like(ax)
+    zero = jnp.zeros_like(ax)
+    Rx = jnp.stack(
+        [
+            jnp.stack([one, zero, zero], -1),
+            jnp.stack([zero, cx, -sx], -1),
+            jnp.stack([zero, sx, cx], -1),
+        ],
+        -2,
+    )
+    Ry = jnp.stack(
+        [
+            jnp.stack([cy, zero, sy], -1),
+            jnp.stack([zero, one, zero], -1),
+            jnp.stack([-sy, zero, cy], -1),
+        ],
+        -2,
+    )
+    Rz = jnp.stack(
+        [
+            jnp.stack([cz, -sz, zero], -1),
+            jnp.stack([sz, cz, zero], -1),
+            jnp.stack([zero, zero, one], -1),
+        ],
+        -2,
+    )
+    return Rz @ Ry @ Rx
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (w, x, y, z) -> rotation matrix
+    (reference ``Quatern2RotMat``, ``Transformations.py:241-252``)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - z * w)
+    r02 = 2 * (y * w + z * x)
+    r10 = 2 * (x * y + z * w)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - x * w)
+    r20 = 2 * (x * z - y * w)
+    r21 = 2 * (y * z + x * w)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], -1),
+            jnp.stack([r10, r11, r12], -1),
+            jnp.stack([r20, r21, r22], -1),
+        ],
+        -2,
+    )
+
+
+def rotmat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> unit quaternion (w, x, y, z) via the symmetric
+    4x4 eigen method (reference ``RotMat2Quatern``,
+    ``Transformations.py:213-239``; Bar-Itzhack method).  Batched ``eigh``
+    keeps this robust on TPU."""
+    K = _bar_itzhack_K(R)
+    _, vecs = jnp.linalg.eigh(K)
+    q = vecs[..., :, -1]  # eigenvector of the largest eigenvalue
+    # stored order in K is (x, y, z, w) with the vector part conjugated
+    # relative to our quat_to_rotmat convention; convert to (w, x, y, z)
+    q = jnp.concatenate([q[..., 3:4], -q[..., 0:3]], axis=-1)
+    # canonical sign: w >= 0
+    return q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
+
+
+def _bar_itzhack_K(R):
+    t = 1.0 / 3.0
+    r = lambda i, j: R[..., i, j]
+    K00 = t * (r(0, 0) - r(1, 1) - r(2, 2))
+    K11 = t * (r(1, 1) - r(0, 0) - r(2, 2))
+    K22 = t * (r(2, 2) - r(0, 0) - r(1, 1))
+    K33 = t * (r(0, 0) + r(1, 1) + r(2, 2))
+    K01 = t * (r(1, 0) + r(0, 1))
+    K02 = t * (r(2, 0) + r(0, 2))
+    K03 = t * (r(1, 2) - r(2, 1))
+    K12 = t * (r(2, 1) + r(1, 2))
+    K13 = t * (r(2, 0) - r(0, 2))
+    K23 = t * (r(0, 1) - r(1, 0))
+    row0 = jnp.stack([K00, K01, K02, K03], -1)
+    row1 = jnp.stack([K01, K11, K12, K13], -1)
+    row2 = jnp.stack([K02, K12, K22, K23], -1)
+    row3 = jnp.stack([K03, K13, K23, K33], -1)
+    return jnp.stack([row0, row1, row2, row3], -2)
+
+
+def angle_axis_to_quat(angle: jnp.ndarray, axis: jnp.ndarray) -> jnp.ndarray:
+    """(angle, unit axis) -> quaternion (w, x, y, z)
+    (reference ``AngleAxis2Quatern``, ``Transformations.py:264-272``)."""
+    half = angle / 2.0
+    s = jnp.sin(half)
+    return jnp.concatenate(
+        [jnp.cos(half)[..., None], axis * s[..., None]], axis=-1
+    )
+
+
+def quat_to_angle_axis(q: jnp.ndarray):
+    """Quaternion -> (angle, axis) (reference ``Quatern2AngleAndAxis``,
+    ``Transformations.py:254-262``)."""
+    w = jnp.clip(q[..., 0], -1.0, 1.0)
+    half = jnp.arccos(w)
+    s = jnp.sin(half)
+    safe = jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+    axis = q[..., 1:4] / safe[..., None]
+    axis = jnp.where(jnp.abs(s)[..., None] < 1e-12, jnp.zeros_like(axis), axis)
+    return 2.0 * half, axis
+
+
+def solve_rigid_horn(
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+):
+    """Weighted least-squares rigid transform mapping ``p1 -> p0``.
+
+    TPU-native replacement for the reference SVD Kabsch solver
+    (``Match.py:138-158``) using Horn's closed-form quaternion method (the
+    same family as the reference MATLAB ``estimateRigidTransform.m:6-8``):
+    build the symmetric 4x4 N-matrix from the cross-covariance and take the
+    eigenvector of its largest eigenvalue.  Unlike SVD, this always yields a
+    *proper* rotation (no reflection branch, ``Match.py:151-155``), and a
+    batched 4x4 ``eigh`` vmaps cleanly for the parallel RANSAC hypothesis
+    solve.
+
+    Args:
+      p0: ``(..., N, 3)`` target points.
+      p1: ``(..., N, 3)`` source points.
+      weights: optional ``(..., N)`` nonnegative weights (inlier masks).
+
+    Returns:
+      ``(R, t)`` with shapes ``(..., 3, 3)`` and ``(..., 3)``.
+    """
+    if weights is None:
+        weights = jnp.ones(p0.shape[:-1], p0.dtype)
+    w = weights[..., None]
+    wsum = jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
+    mean0 = jnp.sum(p0 * w, axis=-2) / wsum
+    mean1 = jnp.sum(p1 * w, axis=-2) / wsum
+    q0 = p0 - mean0[..., None, :]
+    q1 = p1 - mean1[..., None, :]
+    # cross covariance M[i, j] = sum_n w_n * q1[n, i] * q0[n, j]
+    M = jnp.einsum("...ni,...nj->...ij", q1 * w, q0)
+    N = _horn_N(M)
+    _, vecs = jnp.linalg.eigh(N)
+    q = vecs[..., :, -1]  # (w, x, y, z), rotation taking q1 into q0
+    R = quat_to_rotmat(q)
+    t = mean0 - jnp.einsum("...ij,...j->...i", R, mean1)
+    return R, t
+
+
+def _horn_N(M):
+    """Horn's symmetric 4x4 matrix from a 3x3 cross-covariance."""
+    tr = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2]
+    m = lambda i, j: M[..., i, j]
+    d0 = m(1, 2) - m(2, 1)
+    d1 = m(2, 0) - m(0, 2)
+    d2 = m(0, 1) - m(1, 0)
+    row0 = jnp.stack([tr, d0, d1, d2], -1)
+    row1 = jnp.stack(
+        [d0, 2 * m(0, 0) - tr, m(0, 1) + m(1, 0), m(0, 2) + m(2, 0)], -1
+    )
+    row2 = jnp.stack(
+        [d1, m(0, 1) + m(1, 0), 2 * m(1, 1) - tr, m(1, 2) + m(2, 1)], -1
+    )
+    row3 = jnp.stack(
+        [d2, m(0, 2) + m(2, 0), m(1, 2) + m(2, 1), 2 * m(2, 2) - tr], -1
+    )
+    return jnp.stack([row0, row1, row2, row3], -2)
+
+
+def rotation_geodesic_deg(R0: jnp.ndarray, R1: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic angle between two rotations, in degrees."""
+    Rrel = jnp.swapaxes(R0, -1, -2) @ R1
+    tr = Rrel[..., 0, 0] + Rrel[..., 1, 1] + Rrel[..., 2, 2]
+    c = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return jnp.arccos(c) * RADIAN2DEGREE

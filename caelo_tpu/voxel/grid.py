@@ -1,0 +1,149 @@
+"""Three-scale sparse voxelization and patch extraction, TPU-first.
+
+Replaces the reference's Python-dict block voxelizer (``Voxelization``,
+``Voxel.py:100-173``) and its sklearn-KNN patch extractor (``GetPatchesList``,
+``Voxel.py:177-216``) with fixed-shape JAX:
+
+* **Voxelize**: vectorized coordinate binning + lexicographic-sort dedup
+  (``ops.masking.dedup_int_rows``) per scale -> padded occupied-voxel lists.
+  This is the exact information content of the reference's sparse artifacts
+  (``AllVoxels0/1/2``); the CSR block structure (``avlBlocksList`` /
+  ``cntVoxelsLength``) is recoverable via ``caelo_tpu.voxel.blocks``.
+* **Patches**: for each keypoint and scale, the 512 nearest occupied voxels
+  (in voxel-index space) are found with a distance *matmul* on the MXU plus
+  ``lax.approx_max_k`` — the TPU-native analog of the reference's KD-tree
+  496-NN (``Voxel.py:182-196``) — then box-filtered to the 16^3 window and
+  scattered into the patch tensor.  No trees, no host round-trips.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VoxelConfig
+from ..ops.masking import dedup_int_rows
+
+
+class VoxelPyramid(NamedTuple):
+    """Per-scale padded occupied-voxel lists (coords in voxel-index space)."""
+
+    coords: tuple       # per scale: (M_s, 3) int32
+    masks: tuple        # per scale: (M_s,) bool
+    counts: tuple       # per scale: () int32 — number of unique voxels
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def voxelize(pts: jnp.ndarray, mask: jnp.ndarray,
+             cfg: VoxelConfig = VoxelConfig()) -> VoxelPyramid:
+    """Build the 3-scale occupied-voxel pyramid from a padded scan.
+
+    Args:
+      pts: ``(N, 3)`` or ``(N, >=3)`` float32 points.
+      mask: ``(N,)`` bool validity.
+
+    Scene bounds and scales follow ``Voxel.py:14-52`` (+-100 x +-100 x +-15 m,
+    voxel 0.02 m, ratios 1/8/32); out-of-bounds points are dropped
+    (``FilterOutTooFarPts``, ``Voxel.py:89-97``).
+    """
+    p = pts[:, :3]
+    half = jnp.array(
+        [cfg.visible_length, cfg.visible_width, cfg.visible_height], jnp.float32
+    )
+    inb = mask & jnp.all(jnp.abs(p) <= half, axis=1)
+    shifted = p + half
+
+    coords, masks, counts = [], [], []
+    for s, vs in enumerate(cfg.voxel_sizes):
+        c = jnp.floor(shifted / vs).astype(jnp.int32)
+        g = jnp.array(cfg.grid_shape(s), jnp.int32)
+        ok = inb & jnp.all((c >= 0) & (c < g), axis=1)
+        c = jnp.where(ok[:, None], c, 0)
+        u, m, n = dedup_int_rows(c, ok, cfg.max_voxels[s])
+        coords.append(u)
+        masks.append(m)
+        counts.append(n)
+    return VoxelPyramid(tuple(coords), tuple(masks), tuple(counts))
+
+
+def keypoint_voxels(key_pts: jnp.ndarray, scale: int,
+                    cfg: VoxelConfig = VoxelConfig()) -> jnp.ndarray:
+    """Keypoint coordinates in scale-s voxel-index space
+    (``Voxel.py:193``: ``int(Pts_/VoxelSizes[iScale])``)."""
+    half = jnp.array(
+        [cfg.visible_length, cfg.visible_width, cfg.visible_height], jnp.float32
+    )
+    return jnp.floor((key_pts + half) / cfg.voxel_sizes[scale]).astype(jnp.int32)
+
+
+def _patches_one_scale(key_vox, key_mask, vox, vox_mask, cfg: VoxelConfig,
+                       chunk: int = 128):
+    """16^3 occupancy patches for one scale.
+
+    key_vox: (K, 3) int32; vox: (M, 3) int32 occupied voxels (padded).
+    Returns (K, P, P, P) float32.
+    """
+    K = key_vox.shape[0]
+    P = cfg.patch_size
+    R = cfg.patch_radius
+    knn = min(cfg.patch_knn, vox.shape[0])
+
+    v = vox.astype(jnp.float32)
+    v2 = jnp.sum(v * v, axis=1)
+    # push padded voxels far away so they never make the top-k
+    v2 = jnp.where(vox_mask, v2, 1e12)
+
+    def one_chunk(kc):
+        kcf = kc.astype(jnp.float32)                       # (chunk, 3)
+        k2 = jnp.sum(kcf * kcf, axis=1)                    # (chunk,)
+        # -||v - k||^2 = 2 k.v - ||v||^2 - ||k||^2  (MXU matmul)
+        score = (
+            2.0 * jnp.dot(kcf, v.T, preferred_element_type=jnp.float32)
+            - v2[None, :]
+            - k2[:, None]
+        )
+        _, idx = jax.lax.approx_max_k(score, k=knn)        # (chunk, knn)
+        return idx
+
+    n_chunks = -(-K // chunk)
+    kpad = jnp.pad(key_vox, ((0, n_chunks * chunk - K), (0, 0)))
+    idx = jax.lax.map(one_chunk, kpad.reshape(n_chunks, chunk, 3))
+    idx = idx.reshape(n_chunks * chunk, knn)[:K]           # (K, knn)
+
+    nbr = vox[idx]                                          # (K, knn, 3)
+    nbr_ok = vox_mask[idx]
+    off = nbr - key_vox[:, None, :]
+    in_box = jnp.all((off >= -R) & (off < R), axis=-1) & nbr_ok & key_mask[:, None]
+    cell = (off[..., 0] + R) * P * P + (off[..., 1] + R) * P + (off[..., 2] + R)
+    flat = jnp.where(
+        in_box,
+        jnp.arange(K, dtype=jnp.int32)[:, None] * (P * P * P) + cell,
+        K * P * P * P,
+    )
+    occ = jnp.zeros((K * P * P * P + 1,), jnp.float32).at[flat.reshape(-1)].max(
+        in_box.reshape(-1).astype(jnp.float32)
+    )
+    return occ[:-1].reshape(K, P, P, P)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_patches(key_pts: jnp.ndarray, key_mask: jnp.ndarray,
+                    pyramid: VoxelPyramid, cfg: VoxelConfig = VoxelConfig()):
+    """Multi-scale 16^3 occupancy patches around each keypoint.
+
+    Returns a tuple of three ``(K, 16, 16, 16)`` float32 tensors (scales
+    0.02 / 0.16 / 0.64 m -> receptive fields 0.32 / 2.56 / 10.24 m), matching
+    the reference's ``PatchesList`` (``Voxel.py:177-216``) minus the trailing
+    singleton channel axis.
+    """
+    out = []
+    for s in range(len(cfg.scale_ratios)):
+        kv = keypoint_voxels(key_pts, s, cfg)
+        out.append(
+            _patches_one_scale(
+                kv, key_mask, pyramid.coords[s], pyramid.masks[s], cfg
+            )
+        )
+    return tuple(out)

@@ -51,13 +51,12 @@ def nearest_neighbors(query: jnp.ndarray, query_mask: jnp.ndarray,
             + r2[None, :]
             - 2.0 * jnp.dot(qc, ref.T, preferred_element_type=jnp.float32)
         )
-        idx = jnp.argmin(d2, axis=-1)
-        best = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
-        return idx.astype(jnp.int32), best
+        return jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
-    idx, d2 = jax.lax.map(one, qp.reshape(n_chunks, chunk, 3))
-    idx = idx.reshape(-1)[:N]
-    d2 = d2.reshape(-1)[:N]
+    idx = jax.lax.map(one, qp.reshape(n_chunks, chunk, 3)).reshape(-1)[:N]
+    # the expansion identity suffers catastrophic cancellation for near-zero
+    # distances; recompute the winning distance exactly with one gather
+    d2 = jnp.sum((query - ref[idx]) ** 2, axis=-1)
     dist = jnp.sqrt(jnp.maximum(jnp.where(query_mask, d2, jnp.inf), 0.0))
     return idx, dist
 
@@ -85,8 +84,8 @@ def icp_point_to_point(pc0: jnp.ndarray, mask0: jnp.ndarray,
         Rd, td = se3.solve_rigid_horn(pc0[idx], pc1c, w)
         # freeze updates once done or under-constrained
         step_ok = (~done) & enough
-        Rd = jnp.where(step_ok, Rd, jnp.eye(3))
-        td = jnp.where(step_ok, td, 0.0)
+        Rd = jnp.where(step_ok, Rd, jnp.eye(3, dtype=R.dtype)).astype(R.dtype)
+        td = jnp.where(step_ok, td, 0.0).astype(t.dtype)
         pc1c = se3.apply(Rd, td, pc1c)
         R, t = se3.compose(Rd, td, R, t)
         # convergence / decay bookkeeping (MyICP.py:56-67)
@@ -152,8 +151,8 @@ def icp_hybrid(pc0: jnp.ndarray, mask0: jnp.ndarray,
         enough = n >= cfg.min_inliers
         Rd, td = se3.solve_rigid_horn(tgt, src, w)
         step_ok = (~done) & enough
-        Rd = jnp.where(step_ok, Rd, jnp.eye(3))
-        td = jnp.where(step_ok, td, 0.0)
+        Rd = jnp.where(step_ok, Rd, jnp.eye(3, dtype=R.dtype)).astype(R.dtype)
+        td = jnp.where(step_ok, td, 0.0).astype(t.dtype)
         pc1c = se3.apply(Rd, td, pc1c)
         pl1c = se3.apply(Rd, td, pl1c)
         R, t = se3.compose(Rd, td, R, t)

@@ -90,31 +90,29 @@ def backward_update(poses, frame0, frame1, new_pose, rel_Rs, rel_ts):
     rel_ts = rel_ts.copy()
     n = frame1 - frame0
     assert n >= 1
+    from scipy.spatial.transform import Rotation
+
     R0, t0 = _rt(poses[frame0])
     Rn, tn = _rt(new_pose)
     # target relative transform frame0 -> new frame1
     Rt = R0.T @ Rn
     tt = R0.T @ (tn - t0)
-    # current relative transform frame0 -> frame1
-    Rc, tc = _rel(poses[frame0], poses[frame1])
-    # delta to distribute, expressed in the frame0 frame
+    # ORIGINAL cumulative transforms frame0 -> frame0+k (before mutation)
+    cum = [(np.eye(3), np.zeros(3))]
+    for j in range(frame0, frame1):
+        Ck, ck = cum[-1]
+        cum.append((Ck @ rel_Rs[j], Ck @ rel_ts[j] + ck))
+    Rc, tc = cum[n]
+    # rotation delta to distribute (right-multiplied), translation additive
     dR = Rc.T @ Rt
     d_euler = np.radians(_euler_deg(dR)) / n
     d_t = (tt - tc) / n
-    from scipy.spatial.transform import Rotation
 
     prev_R, prev_t = np.eye(3), np.zeros(3)
     for k in range(1, n + 1):
-        # interpolated target relative transform frame0 -> frame0+k
-        Rk_chain, tk_chain = np.eye(3), np.zeros(3)
-        for j in range(frame0, frame0 + k):
-            Rk_chain, tk_chain = (
-                Rk_chain @ rel_Rs[j],
-                Rk_chain @ rel_ts[j] + tk_chain,
-            )
         frac_R = Rotation.from_euler("xyz", d_euler * k).as_matrix()
-        Rk = Rk_chain @ frac_R
-        tk = tk_chain + d_t * k
+        Rk = cum[k][0] @ frac_R
+        tk = cum[k][1] + d_t * k
         # new relative motion for step k
         rel_Rs[frame0 + k - 1] = prev_R.T @ Rk
         rel_ts[frame0 + k - 1] = prev_R.T @ (tk - prev_t)

@@ -1,0 +1,97 @@
+"""Device-side glue for the refinement back end.
+
+Produces the per-frame refinement features (extended keypoints + planar
+points with normals — the data the reference saves to ``KeyPts/*.mat`` in
+``BatchPreprocess.py:119-152`` and reloads in ``RefinePoses.RefinementCore``
+``:276-277``) and builds the ``icp_fn`` used by
+``caelo_tpu.backend.refine.refine_odometry``: transform frame-j features by
+the odometry-predicted relative pose, then hybrid ICP against frame i
+(``RefinementCore``, ``RefinePoses.py:281-302``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..geometry import se3
+from ..models.respond_net import RespondLayer
+from ..ops.masking import compact
+from ..ops.nms import select_keypoints
+from ..projection.normals import extract_planar_points
+from ..projection.spherical import (extend_keypoints, model_input,
+                                    project_to_spherical_ring)
+from .icp import IcpResult, icp_hybrid
+
+
+class RefinementFeatures(NamedTuple):
+    ext_pts: jnp.ndarray      # (E, 3) extended keypoints
+    ext_mask: jnp.ndarray     # (E,)
+    planar: jnp.ndarray       # (P, 6) planar points + normals
+    planar_mask: jnp.ndarray  # (P,)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_refinement_features(respond_params, pts: jnp.ndarray,
+                                mask: jnp.ndarray,
+                                cfg: PipelineConfig = PipelineConfig()
+                                ) -> RefinementFeatures:
+    image, counter = project_to_spherical_ring(pts, mask, cfg.sensor)
+    respond = RespondLayer().apply(
+        respond_params, model_input(image, cfg.sensor)[None]
+    )[0]
+    key_pts, key_pixels, key_mask, saliency = select_keypoints(
+        image, counter, respond, cfg.sensor, cfg.keypoint
+    )
+    nbr_pts, nbr_mask = extend_keypoints(
+        image, counter, key_pixels, key_mask, cfg.sensor,
+        radius=cfg.keypoint.extend_radius,
+    )
+    flat_pts = nbr_pts.reshape(-1, 3)
+    flat_mask = nbr_mask.reshape(-1)
+    ext_pts, ext_mask, _ = compact(
+        flat_pts, flat_mask, cfg.icp.max_points, fill=0.0
+    )
+    planar, planar_mask = extract_planar_points(
+        image, counter, saliency, cfg.sensor, max_planar=cfg.icp.max_planar
+    )
+    return RefinementFeatures(ext_pts, ext_mask, planar, planar_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def refine_pair(f0: RefinementFeatures, f1: RefinementFeatures,
+                relR: jnp.ndarray, relT: jnp.ndarray,
+                cfg: PipelineConfig = PipelineConfig()) -> IcpResult:
+    """ICP correction of an odometry-predicted relative pose: transform
+    frame-1 refinement features by (relR, relT), then hybrid ICP against
+    frame 0 (``RefinementCore``, ``RefinePoses.py:281-302``).  The returned
+    (R, t) is the *correction*: refined_rel = R @ relR, R @ relT + t."""
+    p1 = se3.apply(relR, relT, f1.ext_pts[None])[0].astype(jnp.float32)
+    pl1_xyz = se3.apply(relR, relT, f1.planar[None, :, 0:3])[0]
+    pl1_n = jnp.einsum("ij,pj->pi", relR, f1.planar[:, 3:6])
+    pl1 = jnp.concatenate([pl1_xyz, pl1_n], axis=1).astype(jnp.float32)
+    return icp_hybrid(
+        f0.ext_pts, f0.ext_mask, p1, f1.ext_mask,
+        f0.planar, f0.planar_mask, pl1, f1.planar_mask, cfg.icp,
+    )
+
+
+def make_icp_fn(features: list, cfg: PipelineConfig = PipelineConfig()
+                ) -> Callable:
+    """Adapt ``refine_pair`` to the host-side ``refine_odometry`` contract:
+    ``icp_fn(i, j, relR, relT) -> (dR, dt, success)``."""
+
+    def icp_fn(i: int, j: int, relR: np.ndarray, relT: np.ndarray):
+        res = refine_pair(
+            features[i], features[j],
+            jnp.asarray(relR, jnp.float32), jnp.asarray(relT, jnp.float32),
+            cfg,
+        )
+        return (np.asarray(res.R, np.float64), np.asarray(res.t, np.float64),
+                bool(res.success))
+
+    return icp_fn

@@ -1,0 +1,227 @@
+"""Unified CLI: preprocess / train / odometry / refine / evaluate / bench.
+
+The reference has *no* flag system — behavior switches are hand-edited
+module-scope integers (``RefinePoses.py:523-531``, ``PoseEstimation.py:
+174-189``, ``Match.py:287-291``) and paths are constants in ``Dirs.py``.
+This module replaces all of that with one argparse tree:
+
+  python -m caelo_tpu.cli odometry --data /kitti --seq 00 --out runs/
+  python -m caelo_tpu.cli refine   --poses runs/poses_/00.txt ...
+  python -m caelo_tpu.cli evaluate --gt ... --est ...
+  python -m caelo_tpu.cli train-respond / train-patch ...
+  python -m caelo_tpu.cli bench
+  python -m caelo_tpu.cli selftest   # synthetic end-to-end check, no data
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu/tpu/axon)")
+
+
+def _setup_platform(args):
+    if args.platform:
+        import jax
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        jax.config.update("jax_platforms", args.platform)
+
+
+def cmd_selftest(args):
+    """Synthetic end-to-end registration check (no dataset needed)."""
+    _setup_platform(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import PipelineConfig, small_test_config
+    from .data.synthetic import synthetic_scan_pair
+    from .frontend.registration import extract_frame_features, register_pair
+    from .geometry import se3
+    from .models import weights_io
+    from .models.patch_encoder import PatchEncoder
+    from .models.respond_net import RespondLayer
+
+    cfg = small_test_config() if args.small else PipelineConfig()
+    scan0, mask0, scan1, mask1, R_gt, t_gt = synthetic_scan_pair(seed=0, cfg=cfg)
+    if weights_io.reference_models_available():
+        respond = weights_io.load_respond_layer_params()
+        encoder = weights_io.load_patch_encoder_params()
+    else:
+        key = jax.random.key(0)
+        respond = RespondLayer().init(
+            key, jnp.zeros((1, cfg.sensor.model_h, cfg.sensor.model_w, 3)))
+        encoder = PatchEncoder().init(key, jnp.zeros((1, 16, 16, 16)))
+    f0 = extract_frame_features(respond, encoder, jnp.asarray(scan0), jnp.asarray(mask0), cfg)
+    f1 = extract_frame_features(respond, encoder, jnp.asarray(scan1), jnp.asarray(mask1), cfg)
+    reg = register_pair(jax.random.key(0), f0, f1, cfg)
+    ang = float(se3.rotation_geodesic_deg(reg.R, jnp.asarray(R_gt)))
+    terr = float(np.linalg.norm(np.asarray(reg.t) - t_gt))
+    out = {"success": bool(reg.success), "n_inliers": int(reg.n_inliers),
+           "rot_err_deg": round(ang, 4), "trans_err_m": round(terr, 4)}
+    print(json.dumps(out))
+    return 0 if out["success"] and ang < 1.0 and terr < 0.5 else 1
+
+
+def cmd_odometry(args):
+    _setup_platform(args)
+    import numpy as np
+
+    from .config import PipelineConfig
+    from .data.kitti import KittiOdometry, save_kitti_poses
+    from .frontend.odometry import run_odometry
+    from .models import weights_io
+
+    cfg = PipelineConfig()
+    ds = KittiOdometry(args.data, cfg)
+    respond = weights_io.load_respond_layer_params(args.respond_weights)
+    encoder = weights_io.load_patch_encoder_params(args.encoder_weights)
+    R_tr, t_tr = ds.load_calib(args.seq)
+    n = ds.n_frames(args.seq) if args.frames < 0 else args.frames
+    result = run_odometry(
+        ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
+        progress=lambda i: print(f"{args.seq}:{n}:{i}", end="\r", flush=True),
+    )
+    out = os.path.join(args.out, "poses_", f"{args.seq}.txt")
+    save_kitti_poses(out, result.poses)
+    np.savez(os.path.join(args.out, f"odom_{args.seq}.npz"),
+             rel_Rs=result.rel_Rs, rel_ts=result.rel_ts,
+             successes=result.successes, n_inliers=result.n_inliers,
+             **{f"inl0_{i}": p[0] for i, p in enumerate(result.inlier_pairs)},
+             **{f"inl1_{i}": p[1] for i, p in enumerate(result.inlier_pairs)})
+    print(f"\nwrote {out}: {len(result.poses)} poses, "
+          f"{result.successes.mean()*100:.1f}% pair success")
+    return 0
+
+
+def cmd_refine(args):
+    _setup_platform(args)
+    import numpy as np
+
+    from .backend.refine import fix_jump_poses
+    from .config import RefineConfig
+
+    poses = np.loadtxt(args.poses).reshape(-1, 12)
+    fixed, frames = fix_jump_poses(poses, RefineConfig())
+    out = args.out or args.poses.replace("poses_", "poses__")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    np.savetxt(out, fixed)
+    print(f"de-jumped {len(frames)} frames -> {out}")
+    return 0
+
+
+def cmd_evaluate(args):
+    _setup_platform(args)
+    import numpy as np
+
+    from .eval.metrics import (absolute_trajectory_error, kitti_drift,
+                               registration_summary, relative_pose_errors)
+    from .geometry.kitti_pose import load_calib_tr
+
+    gt = np.loadtxt(args.gt).reshape(-1, 12)
+    est = np.loadtxt(args.est).reshape(-1, 12)
+    n = min(len(gt), len(est))
+    gt, est = gt[:n], est[:n]
+    if args.calib:
+        R_tr, t_tr = load_calib_tr(args.calib)
+    else:
+        R_tr, t_tr = np.eye(3), np.zeros(3)
+    errs = relative_pose_errors(gt, est, R_tr, t_tr)
+    out = registration_summary(errs)
+    out.update(absolute_trajectory_error(gt, est))
+    out.update(kitti_drift(gt, est))
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_train_respond(args):
+    _setup_platform(args)
+    from .training.drivers import train_respond_main
+
+    return train_respond_main(args)
+
+
+def cmd_train_patch(args):
+    _setup_platform(args)
+    from .training.drivers import train_patch_main
+
+    return train_patch_main(args)
+
+
+def cmd_bench(args):
+    import bench
+
+    return bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("caelo_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("selftest", help="synthetic end-to-end check")
+    p.add_argument("--small", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser("odometry", help="run per-sequence odometry")
+    p.add_argument("--data", required=True, help="KITTI odometry root")
+    p.add_argument("--seq", default="00")
+    p.add_argument("--out", default="runs")
+    p.add_argument("--frames", type=int, default=-1)
+    p.add_argument("--respond-weights", default=None)
+    p.add_argument("--encoder-weights", default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_odometry)
+
+    p = sub.add_parser("refine", help="de-jump / refine a pose file")
+    p.add_argument("--poses", required=True)
+    p.add_argument("--out", default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_refine)
+
+    p = sub.add_parser("evaluate", help="RRE/RTE/ATE/drift vs ground truth")
+    p.add_argument("--gt", required=True)
+    p.add_argument("--est", required=True)
+    p.add_argument("--calib", default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("train-respond", help="train the 2D respond AE")
+    p.add_argument("--data", required=True)
+    p.add_argument("--out", default="checkpoints/respond")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic scenes instead of KITTI")
+    p.add_argument("--steps", type=int, default=-1)
+    _add_common(p)
+    p.set_defaults(fn=cmd_train_respond)
+
+    p = sub.add_parser("train-patch", help="train the 3D voxel-patch AE")
+    p.add_argument("--data", required=True)
+    p.add_argument("--out", default="checkpoints/patch")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--steps", type=int, default=-1)
+    _add_common(p)
+    p.set_defaults(fn=cmd_train_patch)
+
+    p = sub.add_parser("bench", help="run the benchmark")
+    _add_common(p)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -163,11 +163,17 @@ class RansacConfig:
     hypotheses for every threshold rung in parallel on the MXU.
     """
 
-    n_hypotheses: int = 512
+    n_hypotheses: int = 2048
     sample_size: int = 4
     residual_thresholds: Tuple[float, float, float] = (0.4, 0.8, 1.6)
     min_inlier_abs: int = 100
     min_inlier_frac: float = 0.2
+    # Hypotheses are sampled from the best `sample_top_frac` of pairs by
+    # descriptor distance (residuals still evaluated on ALL pairs).  The
+    # reference samples uniformly from up to 500 sequential trials
+    # (Match.py:182-184); batched hypotheses are nearly free on the MXU, so
+    # we run 2048 and bias the draw toward confident matches.
+    sample_top_frac: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -216,7 +222,26 @@ def small_test_config() -> PipelineConfig:
     """A scaled-down config for fast CPU tests (same code paths)."""
     return PipelineConfig(
         voxel=VoxelConfig(max_voxels=(16384, 8192, 2048), patch_knn=128),
-        ransac=RansacConfig(n_hypotheses=128),
+        ransac=RansacConfig(n_hypotheses=512),
         icp=IcpConfig(max_points=1024, max_planar=256, max_iters=10),
         max_points=16384,
+    )
+
+
+def tiny_test_config() -> PipelineConfig:
+    """Minimal shapes for compile-speed-bound checks (multichip dry runs).
+
+    A coarse 16-line sensor and tiny capacities: the graph structure is
+    identical to production, only the static shapes shrink.
+    """
+    return PipelineConfig(
+        sensor=SensorConfig(
+            n_lines=16, azimuth_res_deg=1.0, safe_edge_top=2,
+            crop_width=4, edge_filter=2, visible_bottom=5.0,
+        ),
+        keypoint=KeypointConfig(n_keypoints=128, max_extended=2048),
+        voxel=VoxelConfig(max_voxels=(4096, 2048, 512), patch_knn=64),
+        ransac=RansacConfig(n_hypotheses=64, min_inlier_abs=20),
+        icp=IcpConfig(max_points=512, max_planar=128, max_iters=5),
+        max_points=4096,
     )

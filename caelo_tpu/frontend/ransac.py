@@ -40,13 +40,17 @@ class RansacResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def ransac_rigid(key: jax.Array, pairs0: jnp.ndarray, pairs1: jnp.ndarray,
                  pair_mask: jnp.ndarray,
-                 cfg: RansacConfig = RansacConfig()) -> RansacResult:
+                 cfg: RansacConfig = RansacConfig(),
+                 pair_dist: jnp.ndarray | None = None) -> RansacResult:
     """Estimate the rigid transform mapping ``pairs1 -> pairs0``.
 
     Args:
       key: PRNG key.
       pairs0/pairs1: ``(K, 3)`` matched point pairs (padded).
       pair_mask: ``(K,)`` validity.
+      pair_dist: optional ``(K,)`` match quality (descriptor distance);
+        when given, hypothesis samples are drawn only from the best
+        ``cfg.sample_top_frac`` of pairs (residuals still use all pairs).
     """
     K = pairs0.shape[0]
     H = cfg.n_hypotheses
@@ -54,7 +58,15 @@ def ransac_rigid(key: jax.Array, pairs0: jnp.ndarray, pairs1: jnp.ndarray,
     n_valid = jnp.sum(pair_mask)
 
     # --- sample S valid pair indices per hypothesis
-    logits = jnp.where(pair_mask, 0.0, -jnp.inf)
+    sample_ok = pair_mask
+    if pair_dist is not None and cfg.sample_top_frac < 1.0:
+        n_top = jnp.maximum(
+            (cfg.sample_top_frac * n_valid).astype(jnp.int32), 4 * S
+        )
+        d = jnp.where(pair_mask, pair_dist, jnp.inf)
+        cutoff = jnp.sort(d)[jnp.clip(n_top - 1, 0, K - 1)]
+        sample_ok = pair_mask & (d <= cutoff)
+    logits = jnp.where(sample_ok, 0.0, -jnp.inf)
     samp = jax.random.categorical(key, logits, shape=(H, S))
 
     # --- solve all hypotheses (batched Horn)

@@ -78,12 +78,14 @@ def register_pair(key: jax.Array, f0: FrameFeatures, f1: FrameFeatures,
                   cfg: PipelineConfig = PipelineConfig()) -> PairRegistration:
     """Estimate the rigid transform mapping frame-1 points into frame 0
     (``SolveRelativePose``, ``Match.py:241-283``)."""
-    pair_idx, pair_mask, _ = match_descriptors(
+    pair_idx, pair_mask, pair_dist = match_descriptors(
         f0.descriptors, f0.mask, f1.descriptors, f1.mask
     )
     pairs0 = f0.key_pts[pair_idx]
     pairs1 = f1.key_pts
-    res: RansacResult = ransac_rigid(key, pairs0, pairs1, pair_mask, cfg.ransac)
+    res: RansacResult = ransac_rigid(
+        key, pairs0, pairs1, pair_mask, cfg.ransac, pair_dist=pair_dist
+    )
     return PairRegistration(
         R=res.R,
         t=res.t,

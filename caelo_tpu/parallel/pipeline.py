@@ -1,0 +1,79 @@
+"""Sharded frame pipeline: data-parallel feature extraction + halo exchange.
+
+TPU-native counterpart of the reference's process-level parallelism
+(SURVEY.md section 2.4):
+
+* ``BatchPreprocess.py:157,215-225`` (10 worker processes over frame shards)
+  -> ``make_batched_feature_extractor``: one jitted, vmapped program whose
+  frame axis is sharded over the mesh's ``"data"`` axis.  Each chip processes
+  its frames; no IPC, no Manager lists.
+* ``PoseEstimation.py:221-245`` (producer/consumer pipeline) -> the same
+  extractor double-buffers via XLA's async dispatch: the host enqueues batch
+  k+1 while batch k computes.
+* The refinement back end's keyframe-span partitioning (the framework's
+  sequence-parallel analog) -> ``neighbor_pose_exchange``: a ``shard_map``
+  with ``ppermute`` halo exchange of boundary poses so each device can form
+  cross-shard relative-pose constraints, and ``psum`` for global residuals.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import PipelineConfig
+from ..frontend.registration import extract_frame_features
+
+
+def make_batched_feature_extractor(mesh: Mesh,
+                                   cfg: PipelineConfig = PipelineConfig()):
+    """Returns ``fn(respond_params, encoder_params, pts, mask)`` where
+    ``pts`` is ``(B, N, 4)`` and ``mask`` ``(B, N)``, with B sharded over
+    the mesh's 'data' axis.  Output FrameFeatures have leading axis B with
+    the same sharding."""
+    vm = jax.vmap(
+        lambda rp, ep, p, m: extract_frame_features(rp, ep, p, m, cfg),
+        in_axes=(None, None, 0, 0),
+    )
+    data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    return jax.jit(
+        vm, in_shardings=(rep, rep, data, data), out_shardings=data
+    )
+
+
+def neighbor_pose_exchange(mesh: Mesh):
+    """shard_map halo exchange over keyframe spans.
+
+    Each device owns a contiguous span of poses ``(K, 12)``; the step sends
+    its last pose to the right neighbor (``ppermute`` ring) so every device
+    can evaluate the chain constraint spanning the shard boundary, and
+    returns the globally ``psum``-ed squared chain residual — the primitive
+    the distributed refinement solver builds on.
+    """
+    axis = "data"
+
+    def step(poses):
+        n = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        # send my last pose to my right neighbor; receive left neighbor's
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        left_last = jax.lax.ppermute(poses[-1], axis, perm)
+        # chain residual: ||pose_k - pose_{k-1}|| within the shard, plus the
+        # boundary term vs the halo pose (masked out on device 0)
+        intra = jnp.sum((poses[1:] - poses[:-1]) ** 2)
+        boundary = jnp.sum((poses[0] - left_last) ** 2)
+        boundary = jnp.where(idx == 0, 0.0, boundary)
+        total = jax.lax.psum(intra + boundary, axis)
+        return total, left_last
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=(P(), P("data")),
+    )

@@ -1,0 +1,120 @@
+"""Back-end refinement logic: de-jump, forward/backward update, transfer chains."""
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from caelo_tpu.backend import refine
+from caelo_tpu.config import RefineConfig
+
+
+def straight_trajectory(n, step=1.0):
+    poses = np.zeros((n, 12))
+    for i in range(n):
+        poses[i] = np.hstack([np.eye(3), [[i * step], [0], [0]]]).reshape(12)
+    return poses
+
+
+def test_forward_update_rechains():
+    poses = straight_trajectory(6)
+    rel_Rs, rel_ts = refine._all_rels(poses)
+    new_pose = poses[2].copy()
+    new_pose[3] += 0.5  # shift frame 2 by +0.5 in x
+    out, _, _ = refine.forward_update(poses, 2, new_pose, rel_Rs, rel_ts)
+    # all later frames shift by the same amount (rels preserved)
+    np.testing.assert_allclose(out[2:, 3], poses[2:, 3] + 0.5, atol=1e-9)
+    np.testing.assert_allclose(out[:2], poses[:2], atol=1e-9)
+
+
+def test_backward_update_distributes():
+    poses = straight_trajectory(8)
+    rel_Rs, rel_ts = refine._all_rels(poses)
+    new_pose = poses[6].copy()
+    new_pose[7] += 0.6  # shift frame 6 by +0.6 in y
+    out, rR, rt = refine.backward_update(poses, 2, 6, new_pose, rel_Rs, rel_ts)
+    # frame 6 lands exactly on the new pose
+    np.testing.assert_allclose(out[6], new_pose, atol=1e-6)
+    # frames 3..5 move by interpolated fractions of the correction
+    np.testing.assert_allclose(out[3, 7], 0.15, atol=1e-6)
+    np.testing.assert_allclose(out[4, 7], 0.30, atol=1e-6)
+    np.testing.assert_allclose(out[5, 7], 0.45, atol=1e-6)
+    # frames outside the window untouched
+    np.testing.assert_allclose(out[:3], poses[:3], atol=1e-9)
+
+
+def test_fix_jump_poses():
+    poses = straight_trajectory(10)
+    # inject a jump: frame 5 displaced sideways by 2 m
+    poses[5, 7] += 2.0
+    fixed, frames = refine.fix_jump_poses(poses, RefineConfig())
+    assert len(frames) >= 1
+    # after de-jump the trajectory is straight again (constant velocity)
+    rel_Rs, rel_ts = refine._all_rels(fixed)
+    steps = np.linalg.norm(rel_ts, axis=1)
+    np.testing.assert_allclose(steps, 1.0, atol=1e-6)
+
+
+def test_fix_jump_keeps_clean_trajectory():
+    poses = straight_trajectory(10)
+    fixed, frames = refine.fix_jump_poses(poses, RefineConfig())
+    assert frames == []
+    np.testing.assert_allclose(fixed, poses, atol=1e-12)
+
+
+def test_transfer_pair_chain():
+    # tracks: keypoint 7 survives pairs 0-1-2-3; others die
+    pairs = [
+        (np.array([1, 7, 9]), np.array([11, 17, 19])),
+        (np.array([17, 30]), np.array([27, 40])),
+        (np.array([27]), np.array([37])),
+        (np.array([99]), np.array([98])),
+    ]
+    end, n = refine.transfer_pair_chain(pairs, 0, max_frames=20)
+    assert end == 3 and n == 1
+    end2, _ = refine.transfer_pair_chain(pairs, 3, max_frames=20)
+    assert end2 == 4
+
+
+def test_transfer_chain_respects_max_frames():
+    pairs = [(np.arange(10), np.arange(10)) for _ in range(30)]
+    end, n = refine.transfer_pair_chain(pairs, 0, max_frames=5)
+    assert end - 0 <= 6
+
+
+def test_refine_odometry_accepts_good_correction():
+    poses = straight_trajectory(6)
+    # odometry has a constant small bias; "ICP" knows the truth
+    drifted = poses.copy()
+    for i in range(1, 6):
+        drifted[i, 7] = 0.1 * i  # y drift 0.1/frame
+
+    def rel_lidar_fn(p0, p1):
+        return refine._rel(p0, p1)
+
+    def icp_fn(i, j, relR, relT):
+        # true relative motion is (1, 0, 0) per frame span
+        true_t = np.array([1.0 * (j - i), 0.0, 0.0])
+        dt = true_t - relT
+        return np.eye(3), dt, True
+
+    def apply_rel_fn(pose0, R, t):
+        R0, t0 = refine._rt(pose0)
+        return refine._row(R0 @ R, R0 @ t + t0)
+
+    out, stats = refine.refine_odometry(
+        drifted, icp_fn, rel_lidar_fn, apply_rel_fn
+    )
+    assert len(stats.refined) > 0 and len(stats.failed) == 0
+    np.testing.assert_allclose(out[:5, 7], 0.0, atol=1e-9)
+
+
+def test_refine_odometry_rejects_large_correction():
+    poses = straight_trajectory(6)
+
+    def icp_fn(i, j, relR, relT):
+        return np.eye(3), np.array([50.0, 0, 0]), True  # absurd correction
+
+    out, stats = refine.refine_odometry(
+        poses, icp_fn, refine._rel,
+        lambda p, R, t: refine._row(*(lambda R0, t0: (R0 @ R, R0 @ t + t0))(*refine._rt(p))),
+    )
+    assert len(stats.rejected) > 0
+    np.testing.assert_allclose(out, poses, atol=1e-9)  # unchanged

@@ -63,25 +63,27 @@ def main():
         pts, mask = pad_points(np.concatenate([local, refl], 1), cfg.max_points)
         scans.append((jnp.asarray(pts), jnp.asarray(mask)))
 
-    feat = lambda p, m: extract_frame_features(respond, encoder, p, m, cfg)
+    from caelo_tpu.parallel.pipeline import make_sequence_processor
+
+    pts_b = jnp.stack([s for s, _ in scans])
+    mask_b = jnp.stack([m for _, m in scans])
+    process = make_sequence_processor(cfg)
 
     # warm-up (compile)
-    f_prev = feat(*scans[0])
-    f_cur = feat(*scans[1])
-    reg = register_pair(jax.random.key(0), f_prev, f_cur, cfg)
-    jax.block_until_ready((f_prev, f_cur, reg))
+    feats, regs = process(respond, encoder, pts_b, mask_b, jax.random.key(0))
+    jax.block_until_ready(regs)
 
-    # timed steady-state loop: N_FRAMES extractions + N_FRAMES-1 registrations
-    key = jax.random.key(1)
-    t0 = time.time()
-    f_prev = feat(*scans[0])
-    for i in range(1, N_FRAMES):
-        f_cur = feat(*scans[i])
-        key, sub = jax.random.split(key)
-        reg = register_pair(sub, f_prev, f_cur, cfg)
-        f_prev = f_cur
-    jax.block_until_ready((f_prev, reg))
-    dt = time.time() - t0
+    # timed steady state: whole window (features + pair registrations) in
+    # one device call; block each rep so async dispatch can't hide work
+    reps = 8
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        feats, regs = process(respond, encoder, pts_b, mask_b,
+                              jax.random.key(r + 1))
+        jax.block_until_ready(regs)
+        times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]  # median rep
 
     fps = N_FRAMES / dt
     print(json.dumps({

@@ -1,0 +1,135 @@
+"""Loop-closure detection and closure via place recognition + registration.
+
+The reference ships loop closure as a disabled skeleton that only
+re-registers keyframe pairs 2 frames apart (``CloseLoopPipeline``,
+``RefinePoses.py:477-518``; every enable flag defaults off,
+``:526-531``) — it never detects real revisits.  This module implements the
+full capability, TPU-style:
+
+* **global frame descriptor**: histogram-weighted mean + second moment of
+  the frame's 60-dim keypoint descriptors (2x60 floats) — computed from
+  features the front end already produced, zero extra model cost;
+* **candidate search**: the all-pairs descriptor distance matrix is one
+  matmul over the whole trajectory (N up to ~4600 frames -> a 4600^2 GEMM,
+  trivial on the MXU), masked to exclude temporal neighbors;
+* **geometric verification**: candidates re-register with the standard
+  batched-RANSAC front end; accepted closures become ``PoseGraph`` loop
+  edges for ``caelo_tpu.backend.posegraph.optimize``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend.matching import squared_distance_matrix
+from .posegraph import PoseGraph
+
+
+def frame_global_descriptor(descriptors: jnp.ndarray,
+                            mask: jnp.ndarray) -> jnp.ndarray:
+    """(K, 60) keypoint descriptors -> (120,) global place signature."""
+    w = mask.astype(jnp.float32)[:, None]
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(descriptors * w, axis=0) / n
+    var = jnp.sum((descriptors - mean) ** 2 * w, axis=0) / n
+    return jnp.concatenate([mean, jnp.sqrt(var + 1e-12)])
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates", "min_gap"))
+def loop_candidates(global_desc: jnp.ndarray, valid: jnp.ndarray,
+                    min_gap: int = 100, max_candidates: int = 64):
+    """Top candidate frame pairs by global-descriptor similarity.
+
+    Args:
+      global_desc: ``(N, D)`` per-frame signatures.
+      valid: ``(N,)`` frame validity.
+      min_gap: minimum temporal separation (loops, not odometry neighbors).
+
+    Returns (pair_i, pair_j, score, pair_mask): ``(max_candidates,)`` each.
+    """
+    N = global_desc.shape[0]
+    d2 = squared_distance_matrix(global_desc, global_desc)
+    ii = jnp.arange(N)
+    far = jnp.abs(ii[:, None] - ii[None, :]) >= min_gap
+    ok = far & valid[:, None] & valid[None, :] & (ii[:, None] < ii[None, :])
+    score = jnp.where(ok, -d2, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(score, max_candidates)
+    pair_i = idx // N
+    pair_j = idx % N
+    return pair_i, pair_j, -vals, jnp.isfinite(vals)
+
+
+class LoopClosures(NamedTuple):
+    edges: PoseGraph
+    n_accepted: int
+    candidates_checked: int
+
+
+def detect_and_close(features: List, register_fn: Callable,
+                     min_gap: int = 100, max_candidates: int = 32,
+                     max_accept: int = 16,
+                     dedup_window: int = 10) -> LoopClosures:
+    """Full loop-closure pass over a sequence's FrameFeatures.
+
+    Args:
+      features: list of per-frame ``FrameFeatures``.
+      register_fn: ``(i, j) -> (R, t, success, n_inliers)`` — geometric
+        verification (normally the front end's ``register_pair``).
+
+    Returns loop edges mapping frame j into frame i (the front-end's
+    relative-pose convention), weighted by inlier count.
+    """
+    gd = jnp.stack([
+        frame_global_descriptor(f.descriptors, f.mask) for f in features
+    ])
+    valid = jnp.asarray([bool(f.mask.any()) for f in features])
+    pi, pj, score, pmask = loop_candidates(
+        gd, valid, min_gap=min_gap, max_candidates=max_candidates
+    )
+    pi, pj = np.asarray(pi), np.asarray(pj)
+    pmask = np.asarray(pmask)
+
+    ei, ej, Rs, ts, ws = [], [], [], [], []
+    seen = []
+    checked = 0
+    for i, j, m in zip(pi, pj, pmask):
+        if not m or len(ei) >= max_accept:
+            continue
+        if any(abs(int(i) - a) < dedup_window and abs(int(j) - b) < dedup_window
+               for a, b in seen):
+            continue
+        checked += 1
+        R, t, ok, n_inl = register_fn(int(i), int(j))
+        if not ok:
+            continue
+        seen.append((int(i), int(j)))
+        ei.append(int(i))
+        ej.append(int(j))
+        Rs.append(np.asarray(R))
+        ts.append(np.asarray(t))
+        ws.append(float(n_inl))
+    n = len(ei)
+    if n == 0:
+        edges = PoseGraph(
+            edge_i=jnp.zeros((0,), jnp.int32),
+            edge_j=jnp.zeros((0,), jnp.int32),
+            rel_R=jnp.zeros((0, 3, 3)),
+            rel_t=jnp.zeros((0, 3)),
+            weight=jnp.zeros((0,)),
+            rot_info=jnp.zeros((0,)),
+        )
+    else:
+        w = jnp.asarray(ws) / 100.0
+        edges = PoseGraph(
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            rel_R=jnp.asarray(np.stack(Rs)),
+            rel_t=jnp.asarray(np.stack(ts)),
+            weight=w,
+            rot_info=jnp.full((n,), 100.0),
+        )
+    return LoopClosures(edges, n, checked)

@@ -39,16 +39,22 @@ class KittiOdometry:
         return os.path.join(self.sequence_dir(seq), f"{frame:06d}.bin")
 
     def load_scan(self, seq: str, frame: int):
-        """Return padded ``(max_points, 4)`` scan + validity mask."""
-        raw = np.fromfile(self.scan_path(seq, frame), dtype=np.float32)
-        pts = raw.reshape(-1, 4)
-        return pad_points(pts, self.cfg.max_points)
+        """Return padded ``(max_points, 4)`` scan + validity mask (native
+        C++ loader when available, numpy fallback otherwise)."""
+        from .native_loader import load_scan as native_load
+
+        return native_load(self.scan_path(seq, frame), self.cfg.max_points)
 
     def iter_scans(self, seq: str, start: int = 0,
                    stop: int | None = None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Ordered scans with background prefetch (C++ thread pool; the
+        in-process analog of the reference's 4 loader subprocesses,
+        PoseEstimation.py:91-119)."""
+        from .native_loader import ScanPrefetcher
+
         stop = self.n_frames(seq) if stop is None else stop
-        for i in range(start, stop):
-            yield self.load_scan(seq, i)
+        paths = [self.scan_path(seq, i) for i in range(start, stop)]
+        yield from ScanPrefetcher(paths, self.cfg.max_points)
 
     def load_poses(self, seq: str) -> np.ndarray:
         return np.loadtxt(os.path.join(self.root, "poses", f"{seq}.txt"))

@@ -225,6 +225,59 @@ def _horn_N(M):
     return jnp.stack([row0, row1, row2, row3], -2)
 
 
+def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: axis-angle vector ``(..., 3)`` -> rotation matrix.
+    Taylor-safe near zero (needed for autodiff through the pose graph)."""
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    safe = theta2 > 1e-12
+    # evaluate the trig branch at a safe argument so its gradient is finite
+    # even where the Taylor branch is selected (nan-through-where guard)
+    t2s = jnp.where(safe, theta2, 1.0)
+    theta = jnp.sqrt(t2s)
+    K = skew(w)
+    A = jnp.where(safe, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
+    B = jnp.where(safe, (1.0 - jnp.cos(theta)) / t2s, 0.5 - theta2 / 24.0)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + A * K + B * (K @ K)
+
+
+def log_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> axis-angle vector (principal branch), batched and
+    differentiable away from theta = pi."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    c = jnp.clip((tr - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(c)
+    v = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    safe = theta > 1e-7
+    s = jnp.where(safe, 2.0 * jnp.sin(theta), 1.0)  # safe denominator
+    scale = jnp.where(
+        safe[..., None],
+        (theta / s)[..., None],
+        0.5 + theta[..., None] ** 2 / 12.0,
+    )
+    return v * scale
+
+
+def skew(w: jnp.ndarray) -> jnp.ndarray:
+    """``(..., 3)`` -> skew-symmetric ``(..., 3, 3)``."""
+    z = jnp.zeros_like(w[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -w[..., 2], w[..., 1]], -1),
+            jnp.stack([w[..., 2], z, -w[..., 0]], -1),
+            jnp.stack([-w[..., 1], w[..., 0], z], -1),
+        ],
+        -2,
+    )
+
+
 def rotation_geodesic_deg(R0: jnp.ndarray, R1: jnp.ndarray) -> jnp.ndarray:
     """Geodesic angle between two rotations, in degrees."""
     Rrel = jnp.swapaxes(R0, -1, -2) @ R1

@@ -1,0 +1,81 @@
+"""Loop-closure detection: place recognition + verification contract."""
+import numpy as np
+import jax.numpy as jnp
+
+from caelo_tpu.backend.loopclosure import (LoopClosures, detect_and_close,
+                                           frame_global_descriptor,
+                                           loop_candidates)
+from caelo_tpu.frontend.registration import FrameFeatures
+
+
+def fake_features(rng, n_frames=250, K=64, loop=(0, 240)):
+    """Frames with random descriptors; frames `loop` share a signature."""
+    feats = []
+    base = rng.normal(size=(K, 60)).astype(np.float32)
+    for i in range(n_frames):
+        if i in loop:
+            d = base + rng.normal(0, 0.01, (K, 60)).astype(np.float32)
+        else:
+            d = rng.normal(size=(K, 60)).astype(np.float32)
+        feats.append(FrameFeatures(
+            key_pts=jnp.zeros((K, 3)),
+            descriptors=jnp.asarray(d),
+            mask=jnp.ones((K,), bool),
+            key_pixels=jnp.zeros((K, 2), jnp.int32),
+        ))
+    return feats
+
+
+def test_global_descriptor_masked(rng):
+    d = jnp.asarray(rng.normal(size=(32, 60)).astype(np.float32))
+    m_all = jnp.ones(32, bool)
+    m_half = jnp.zeros(32, bool).at[:16].set(True)
+    g1 = frame_global_descriptor(d, m_all)
+    g2 = frame_global_descriptor(d, m_half)
+    g3 = frame_global_descriptor(d[:16], jnp.ones(16, bool))
+    assert g1.shape == (120,)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g3), atol=1e-5)
+
+
+def test_loop_candidates_finds_revisit(rng):
+    feats = fake_features(rng)
+    gd = jnp.stack([
+        frame_global_descriptor(f.descriptors, f.mask) for f in feats
+    ])
+    pi, pj, score, mask = loop_candidates(
+        gd, jnp.ones(len(feats), bool), min_gap=100, max_candidates=8
+    )
+    assert bool(mask[0])
+    assert (int(pi[0]), int(pj[0])) == (0, 240)
+
+
+def test_loop_candidates_respects_gap(rng):
+    feats = fake_features(rng, loop=(0, 50))  # revisit within the gap
+    gd = jnp.stack([
+        frame_global_descriptor(f.descriptors, f.mask) for f in feats
+    ])
+    pi, pj, _, mask = loop_candidates(
+        gd, jnp.ones(len(feats), bool), min_gap=100, max_candidates=8
+    )
+    pairs = set(zip(np.asarray(pi)[np.asarray(mask)].tolist(),
+                    np.asarray(pj)[np.asarray(mask)].tolist()))
+    assert (0, 50) not in pairs
+
+
+def test_detect_and_close_verification_gate(rng):
+    feats = fake_features(rng)
+    calls = []
+
+    def register_fn(i, j):
+        calls.append((i, j))
+        ok = (i, j) == (0, 240)
+        return np.eye(3), np.array([1.0, 0, 0]), ok, 150
+
+    out: LoopClosures = detect_and_close(
+        feats, register_fn, min_gap=100, max_candidates=8
+    )
+    assert out.n_accepted == 1
+    assert (0, 240) in calls
+    assert int(out.edges.edge_i[0]) == 0 and int(out.edges.edge_j[0]) == 240
+    np.testing.assert_allclose(np.asarray(out.edges.rel_t[0]), [1, 0, 0])
+    assert float(out.edges.weight[0]) == 1.5  # inliers / 100

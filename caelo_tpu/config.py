@@ -87,6 +87,11 @@ class KeypointConfig:
     norm_diff_threshold: float = 0.2
     extend_radius: int = 6           # 13x13 window for extended keypoints
     max_extended: int = 32768        # fixed-size buffer for extended keypoints
+    # Use the fused Pallas saliency kernel (ops/pallas_nms.py).  It runs the
+    # stencil in 0.04 ms/frame (44,000x the reference cupy kernel) but costs
+    # ~3 min of Mosaic compile for the full sensor shape; the XLA lowering
+    # is already sub-millisecond inside the fused pipeline, so default off.
+    use_pallas_nms: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

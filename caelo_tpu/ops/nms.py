@@ -51,20 +51,28 @@ def select_keypoints(image: jnp.ndarray, counter: jnp.ndarray,
     occ = (counter[:H, :W] > 0)
     rad = kp.window // 2
 
-    fpad = jnp.pad(respond, ((rad, rad), (rad, rad), (0, 0)))
-    opad = jnp.pad(occ, ((rad, rad), (rad, rad)))
+    if rad == 2 and kp.use_pallas_nms and jax.default_backend() not in ("cpu",):
+        # fused single-pass Pallas kernel on TPU (ops/pallas_nms.py)
+        from .pallas_nms import saliency_map_pallas
 
-    min_d2 = jnp.full((H, W), jnp.inf, jnp.float32)
-    n_occ = jnp.zeros((H, W), jnp.int32)
-    for dy in range(-rad, rad + 1):
-        for dx in range(-rad, rad + 1):
-            if dy == 0 and dx == 0:
-                continue
-            nf = jax.lax.dynamic_slice(fpad, (rad + dy, rad + dx, 0), (H, W, C))
-            nocc = jax.lax.dynamic_slice(opad, (rad + dy, rad + dx), (H, W))
-            d2 = jnp.sum((nf - respond) ** 2, axis=-1)
-            min_d2 = jnp.minimum(min_d2, jnp.where(nocc, d2, jnp.inf))
-            n_occ = n_occ + nocc.astype(jnp.int32)
+        min_d2, n_occ = saliency_map_pallas(respond, occ)
+    else:
+        fpad = jnp.pad(respond, ((rad, rad), (rad, rad), (0, 0)))
+        opad = jnp.pad(occ, ((rad, rad), (rad, rad)))
+
+        min_d2 = jnp.full((H, W), jnp.inf, jnp.float32)
+        n_occ = jnp.zeros((H, W), jnp.int32)
+        for dy in range(-rad, rad + 1):
+            for dx in range(-rad, rad + 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nf = jax.lax.dynamic_slice(
+                    fpad, (rad + dy, rad + dx, 0), (H, W, C)
+                )
+                nocc = jax.lax.dynamic_slice(opad, (rad + dy, rad + dx), (H, W))
+                d2 = jnp.sum((nf - respond) ** 2, axis=-1)
+                min_d2 = jnp.minimum(min_d2, jnp.where(nocc, d2, jnp.inf))
+                n_occ = n_occ + nocc.astype(jnp.int32)
 
     saliency = jnp.sqrt(jnp.where(jnp.isfinite(min_d2), min_d2, 0.0))
 

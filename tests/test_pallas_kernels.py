@@ -1,0 +1,55 @@
+"""Pallas kernels vs their XLA/numpy oracles (interpret mode on CPU; the
+same kernels compile natively on TPU — exercised by bench/demo runs)."""
+import numpy as np
+import jax.numpy as jnp
+
+from caelo_tpu.ops.pallas_nms import saliency_map_pallas
+from caelo_tpu.ops.pallas_nn import nearest_neighbor_pallas
+
+
+def test_pallas_saliency_matches_oracle(rng):
+    H, W, C = 16, 256, 8
+    resp = rng.normal(size=(H, W, C)).astype(np.float32)
+    occ = rng.uniform(size=(H, W)) < 0.6
+
+    rp = np.pad(resp, ((2, 2), (2, 2), (0, 0)))
+    op = np.pad(occ, 2)
+    md_ref = np.full((H, W), np.inf, np.float32)
+    cnt_ref = np.zeros((H, W), np.int32)
+    for dy in range(5):
+        for dx in range(5):
+            if dy == 2 and dx == 2:
+                continue
+            nb = rp[dy:dy + H, dx:dx + W]
+            o = op[dy:dy + H, dx:dx + W]
+            d2 = ((nb - resp) ** 2).sum(-1)
+            md_ref = np.minimum(md_ref, np.where(o, d2, np.inf))
+            cnt_ref += o
+
+    md, cnt = saliency_map_pallas(
+        jnp.asarray(resp), jnp.asarray(occ), interpret=True
+    )
+    md, cnt = np.asarray(md), np.asarray(cnt)
+    np.testing.assert_array_equal(cnt, cnt_ref)
+    fin = np.isfinite(md_ref)
+    np.testing.assert_array_equal(np.isfinite(md), fin)
+    np.testing.assert_allclose(md[fin], md_ref[fin], atol=1e-4)
+
+
+def test_pallas_nn_matches_kdtree(rng):
+    from scipy.spatial import cKDTree
+
+    ref = rng.uniform(-30, 30, (3000, 3)).astype(np.float32)
+    q = rng.uniform(-30, 30, (700, 3)).astype(np.float32)
+    qm = np.ones(700, bool)
+    qm[-20:] = False
+    rm = np.ones(3000, bool)
+    rm[-100:] = False
+    idx, dist = nearest_neighbor_pallas(
+        jnp.asarray(q), jnp.asarray(qm), jnp.asarray(ref), jnp.asarray(rm),
+        interpret=True,
+    )
+    d_ref, i_ref = cKDTree(ref[:2900]).query(q[:680])
+    np.testing.assert_array_equal(np.asarray(idx)[:680], i_ref)
+    np.testing.assert_allclose(np.asarray(dist)[:680], d_ref, atol=1e-5)
+    assert np.isinf(np.asarray(dist)[-20:]).all()

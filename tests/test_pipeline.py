@@ -1,0 +1,57 @@
+"""Full-stack pipeline: odometry -> de-jump -> ICP refinement (synthetic)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from caelo_tpu.config import small_test_config
+from caelo_tpu.models import weights_io
+from caelo_tpu.pipeline import run_full_pipeline
+
+needs_ref = pytest.mark.skipif(
+    not weights_io.reference_models_available(),
+    reason="reference .h5 models not present",
+)
+
+CFG = small_test_config()
+
+
+def make_sequence(n_frames=4):
+    from caelo_tpu.data.synthetic import (make_scene, range_filter,
+                                          sample_scene_points)
+    from caelo_tpu.ops.masking import pad_points
+
+    scene = make_scene(seed=2)
+    world = sample_scene_points(scene, seed=2, n_points=CFG.max_points)
+    rng = np.random.default_rng(0)
+    scans, gt = [], []
+    for i in range(n_frames):
+        t = np.array([1.0 * i, 0.05 * i, 0.0])
+        gt.append(t)
+        local = range_filter((world - t).astype(np.float32), CFG.sensor)
+        local = local + rng.normal(0, 0.005, local.shape).astype(np.float32)
+        refl = rng.uniform(0, 1, (local.shape[0], 1)).astype(np.float32)
+        scans.append(pad_points(np.concatenate([local, refl], 1), CFG.max_points))
+    return scans, np.array(gt)
+
+
+@needs_ref
+def test_full_pipeline_stages(rng):
+    respond = weights_io.load_respond_layer_params()
+    encoder = weights_io.load_patch_encoder_params()
+    scans, gt_t = make_sequence(4)
+    out = run_full_pipeline(
+        scans, respond, encoder, cfg=CFG,
+        enable_refinement=True, enable_loop_closure=False,
+    )
+    assert out.poses_raw.shape == (4, 12)
+    assert out.odometry.successes.all()
+    # refined trajectory at least as close to GT as raw
+    T_raw = out.poses_raw.reshape(-1, 3, 4)[:, :, 3]
+    T_ref = out.poses_refined.reshape(-1, 3, 4)[:, :, 3]
+    err_raw = np.linalg.norm(T_raw - gt_t, axis=1)
+    err_ref = np.linalg.norm(T_ref - gt_t, axis=1)
+    assert err_raw.max() < 0.5  # front end already accurate
+    assert err_ref.max() < max(0.6, 1.5 * err_raw.max())
+    # four-trajectory staging is preserved
+    for stage in (out.poses_dejumped, out.poses_refined, out.poses_final):
+        assert stage.shape == (4, 12)

@@ -84,8 +84,16 @@ def cmd_odometry(args):
     encoder = weights_io.load_patch_encoder_params(args.encoder_weights)
     R_tr, t_tr = ds.load_calib(args.seq)
     n = ds.n_frames(args.seq) if args.frames < 0 else args.frames
+    feature_fn = None
+    if args.keypoints != "cae-lo":
+        from .frontend.ablation import make_ablation_feature_fn
+
+        feature_fn = make_ablation_feature_fn(
+            args.keypoints, respond, encoder, cfg
+        )
     result = run_odometry(
         ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
+        feature_fn=feature_fn,
         progress=lambda i: print(f"{args.seq}:{n}:{i}", end="\r", flush=True),
     )
     out = os.path.join(args.out, "poses_", f"{args.seq}.txt")
@@ -154,6 +162,68 @@ def cmd_train_patch(args):
     return train_patch_main(args)
 
 
+def cmd_full(args):
+    _setup_platform(args)
+    import numpy as np
+
+    from .config import PipelineConfig
+    from .data.kitti import KittiOdometry, save_kitti_poses
+    from .models import weights_io
+    from .pipeline import run_full_pipeline
+
+    cfg = PipelineConfig()
+    ds = KittiOdometry(args.data, cfg)
+    respond = weights_io.load_respond_layer_params()
+    encoder = weights_io.load_patch_encoder_params()
+    R_tr, t_tr = ds.load_calib(args.seq)
+    n = ds.n_frames(args.seq) if args.frames < 0 else args.frames
+    out = run_full_pipeline(
+        list(ds.iter_scans(args.seq, 0, n)), respond, encoder, R_tr, t_tr,
+        cfg, enable_refinement=not args.no_refine,
+        enable_loop_closure=not args.no_loops,
+    )
+    # the reference's four-trajectory naming convention (Dirs.py:19-24)
+    for name, poses in [("poses_", out.poses_raw),
+                        ("poses__", out.poses_dejumped),
+                        ("poses___", out.poses_refined),
+                        ("poses____", out.poses_final)]:
+        save_kitti_poses(os.path.join(args.out, name, f"{args.seq}.txt"), poses)
+    print(json.dumps({
+        "frames": int(n),
+        "pair_success_rate": float(out.odometry.successes.mean()),
+        "dejumped": len(out.dejumped_frames),
+        "refined_spans": len(out.refine_stats.refined),
+        "loop_closures": out.n_loop_closures,
+    }))
+    return 0
+
+
+def cmd_scaling(args):
+    _setup_platform(args)
+    from .config import small_test_config
+    from .eval.scaling import scaling_sweep
+    from .models import weights_io
+    import jax
+    import jax.numpy as jnp
+
+    cfg = small_test_config()
+    if weights_io.reference_models_available():
+        respond = weights_io.load_respond_layer_params()
+        encoder = weights_io.load_patch_encoder_params()
+    else:
+        from .models.respond_net import RespondLayer
+        from .models.patch_encoder import PatchEncoder
+
+        key = jax.random.key(0)
+        respond = RespondLayer().init(
+            key, jnp.zeros((1, cfg.sensor.model_h, cfg.sensor.model_w, 3)))
+        encoder = PatchEncoder().init(key, jnp.zeros((1, 16, 16, 16)))
+    out = scaling_sweep(respond, encoder, cfg,
+                        frames_per_device=args.frames_per_device)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_bench(args):
     import bench
 
@@ -176,8 +246,26 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=-1)
     p.add_argument("--respond-weights", default=None)
     p.add_argument("--encoder-weights", default=None)
+    p.add_argument("--keypoints", default="cae-lo",
+                   choices=["cae-lo", "iss", "harris", "random"],
+                   help="keypoint-source ablation (PoseEstimation.py:30-39)")
     _add_common(p)
     p.set_defaults(fn=cmd_odometry)
+
+    p = sub.add_parser("full", help="full stack: odometry+dejump+refine+loops")
+    p.add_argument("--data", required=True)
+    p.add_argument("--seq", default="00")
+    p.add_argument("--out", default="runs")
+    p.add_argument("--frames", type=int, default=-1)
+    p.add_argument("--no-refine", action="store_true")
+    p.add_argument("--no-loops", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_full)
+
+    p = sub.add_parser("scaling", help="frames/s scaling sweep over devices")
+    p.add_argument("--frames-per-device", type=int, default=4)
+    _add_common(p)
+    p.set_defaults(fn=cmd_scaling)
 
     p = sub.add_parser("refine", help="de-jump / refine a pose file")
     p.add_argument("--poses", required=True)

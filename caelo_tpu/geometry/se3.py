@@ -225,6 +225,22 @@ def _horn_N(M):
     return jnp.stack([row0, row1, row2, row3], -2)
 
 
+def correct_beam_angle(pts: jnp.ndarray, angle_deg: float = 0.22) -> jnp.ndarray:
+    """Velodyne beam-angle intrinsic correction: rotate each point by
+    ``angle_deg`` about the axis ``p x z`` (reference ``CorrectPC``,
+    ``Transformations.py:28-39`` — a per-point Python loop building a
+    quaternion each; and ``Scripts/CorrectPts.m``).  Vectorized via Rodrigues
+    on the per-point axis."""
+    z = jnp.array([0.0, 0.0, 1.0], pts.dtype)
+    axis = jnp.cross(pts, z)
+    n = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    axis = axis / jnp.where(n < 1e-12, 1.0, n)
+    w = axis * jnp.radians(angle_deg)
+    R = exp_so3(w)                                   # (N, 3, 3)
+    out = jnp.einsum("nij,nj->ni", R, pts)
+    return jnp.where(n < 1e-12, pts, out)
+
+
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: axis-angle vector ``(..., 3)`` -> rotation matrix.
     Taylor-safe near zero (needed for autodiff through the pose graph)."""

@@ -80,6 +80,35 @@ def refine_pair(f0: RefinementFeatures, f1: RefinementFeatures,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def refine_pairs_batched(f0s: RefinementFeatures, f1s: RefinementFeatures,
+                         relRs: jnp.ndarray, relTs: jnp.ndarray,
+                         cfg: PipelineConfig = PipelineConfig()) -> IcpResult:
+    """Vmapped ``refine_pair`` over a batch of keyframe spans.
+
+    The reference refines spans strictly sequentially (``RefineOdometry``,
+    ``RefinePoses.py:366-436``) because each acceptance forward-updates the
+    trajectory.  On TPU the expensive part — the hybrid ICP solves — can run
+    for ALL candidate spans in one batched call from the current trajectory
+    (a Jacobi-style pass); the cheap accept/propagate logic stays host-side.
+    One pass over S spans costs about the same as one span.
+
+    Args: ``f0s``/``f1s`` are RefinementFeatures with a leading span axis
+    (stack with ``jax.tree.map``); relRs/relTs ``(S, 3, 3)`` / ``(S, 3)``.
+    """
+    return jax.vmap(lambda a, b, R, t: refine_pair(a, b, R, t, cfg))(
+        f0s, f1s, relRs, relTs
+    )
+
+
+def stack_features(features: list, idx) -> RefinementFeatures:
+    """Gather per-frame RefinementFeatures at ``idx`` into a batched pytree."""
+    import numpy as np
+
+    sel = [features[int(i)] for i in idx]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *sel)
+
+
 def make_icp_fn(features: list, cfg: PipelineConfig = PipelineConfig()
                 ) -> Callable:
     """Adapt ``refine_pair`` to the host-side ``refine_odometry`` contract:

@@ -28,6 +28,36 @@ from ..config import RansacConfig
 from ..geometry import se3
 
 
+def _horn_N_lanes(M):
+    """Horn's symmetric 4x4 from 9 cross-covariance entry vectors:
+    M[i][j] each (H,) -> (4, 4, H)."""
+    tr = M[0][0] + M[1][1] + M[2][2]
+    d0 = M[1][2] - M[2][1]
+    d1 = M[2][0] - M[0][2]
+    d2 = M[0][1] - M[1][0]
+    row0 = jnp.stack([tr, d0, d1, d2])
+    row1 = jnp.stack(
+        [d0, 2 * M[0][0] - tr, M[0][1] + M[1][0], M[0][2] + M[2][0]]
+    )
+    row2 = jnp.stack(
+        [d1, M[0][1] + M[1][0], 2 * M[1][1] - tr, M[1][2] + M[2][1]]
+    )
+    row3 = jnp.stack(
+        [d2, M[0][2] + M[2][0], M[1][2] + M[2][1], 2 * M[2][2] - tr]
+    )
+    return jnp.stack([row0, row1, row2, row3])
+
+
+def _quat_to_rot_entries(q):
+    """(4, H) quaternion (w, x, y, z) -> 3x3 nested list of (H,) entries."""
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (y * w + z * x)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ]
+
+
 class RansacResult(NamedTuple):
     R: jnp.ndarray            # (3, 3)
     t: jnp.ndarray            # (3,)
@@ -69,18 +99,54 @@ def ransac_rigid(key: jax.Array, pairs0: jnp.ndarray, pairs1: jnp.ndarray,
     logits = jnp.where(sample_ok, 0.0, -jnp.inf)
     samp = jax.random.categorical(key, logits, shape=(H, S))
 
-    # --- solve all hypotheses (batched Horn)
-    s0 = pairs0[samp]                      # (H, S, 3)
-    s1 = pairs1[samp]
-    Rs, ts = se3.solve_rigid_horn(s0, s1)  # (H, 3, 3), (H, 3)
+    # --- solve all hypotheses (batched Horn) and evaluate residuals, in a
+    # structure-of-arrays layout: every array below is (H,)-, (S, H)- or
+    # (H, K)-shaped so the large axis rides the 128-lane dimension.  The
+    # AoS form ((H, S, 3) points, (H, 3, 3) rotations, einsum over j=3)
+    # wastes ~40x on lane padding and costs >100 ms per window on v5e.
+    p0T = pairs0.T                                   # (3, K)
+    p1T = pairs1.T
+    s0 = p0T[:, samp.T]                              # (3, S, H)
+    s1 = p1T[:, samp.T]
+    mean0 = jnp.mean(s0, axis=1)                     # (3, H)
+    mean1 = jnp.mean(s1, axis=1)
+    q0 = s0 - mean0[:, None, :]
+    q1 = s1 - mean1[:, None, :]
+    # cross covariance M[i][j] (H,) = sum_s q1_i q0_j
+    M = [[jnp.sum(q1[i] * q0[j], axis=0) for j in range(3)] for i in range(3)]
+    N = _horn_N_lanes(M)                             # (4, 4, H)
+    quat = se3.max_eigvec_sym4x4_lanes(N)            # (4, H): (w, x, y, z)
+    r = _quat_to_rot_entries(quat)                   # r[i][j]: (H,)
+    # t = mean0 - R mean1  (3 entries of (H,))
+    t_l = [
+        mean0[i] - sum(r[i][j] * mean1[j] for j in range(3)) for i in range(3)
+    ]
 
-    # --- residuals of every hypothesis on every pair
-    pred = jnp.einsum("hij,kj->hki", Rs, pairs1) + ts[:, None, :]
-    dists = jnp.linalg.norm(pred - pairs0[None], axis=-1)      # (H, K)
+    # residuals of every hypothesis on every pair: 3 planes of (H, K)
+    d2 = jnp.zeros((H, K), jnp.float32)
+    for i in range(3):
+        pred_i = (
+            r[i][0][:, None] * p1T[0][None, :]
+            + r[i][1][:, None] * p1T[1][None, :]
+            + r[i][2][:, None] * p1T[2][None, :]
+            + t_l[i][:, None]
+        )
+        diff = pred_i - p0T[i][None, :]
+        d2 = d2 + diff * diff
 
     thresholds = jnp.array(cfg.residual_thresholds, jnp.float32)
-    inl = (dists[None] < thresholds[:, None, None]) & pair_mask[None, None]
-    counts = jnp.sum(inl, axis=-1)                             # (T, H)
+    # per-rung inlier counts WITHOUT materializing a (T, H, K) tensor: the
+    # compare fuses into each reduction; the winner's inlier mask is
+    # recomputed from its d2 row at the end.
+    d2m = jnp.where(pair_mask[None, :], d2, jnp.inf)
+    counts = jnp.stack(
+        [jnp.sum(d2m < th * th, axis=-1) for th in cfg.residual_thresholds]
+    )                                                           # (T, H)
+    # assemble (H, 3, 3) / (H, 3) for the (cheap) winner extraction below
+    Rs = jnp.stack(
+        [jnp.stack([r[i][j] for j in range(3)], -1) for i in range(3)], -2
+    )
+    ts = jnp.stack(t_l, -1)
 
     least = jnp.minimum(
         cfg.min_inlier_abs, (cfg.min_inlier_frac * n_valid).astype(jnp.int32)
@@ -96,7 +162,7 @@ def ransac_rigid(key: jax.Array, pairs0: jnp.ndarray, pairs1: jnp.ndarray,
 
     h = best_h[rung]
     success = rung_ok[rung]
-    inlier_mask = inl[rung, h]
+    inlier_mask = d2m[h] < thresholds[rung] ** 2
     # --- final least-squares refit on the winning inlier set (Match.py:280-283)
     w = inlier_mask.astype(jnp.float32)
     R_fit, t_fit = se3.solve_rigid_horn(pairs0, pairs1, w)

@@ -78,6 +78,68 @@ def load_patch_encoder_params(path: str | None = None):
     return {"params": params}
 
 
+def load_spherical_ae_params(path: str | None = None):
+    """Shipped full 2D auto-encoder (``TrainedModels/AE4SphericalRingPC.h5``:
+    6 convs, relu x5 + linear out) -> Flax ``SphericalRingAE`` params."""
+    path = path or os.path.join(REFERENCE_MODELS_DIR, "AE4SphericalRingPC.h5")
+    w = _h5_layer_weights(path)
+    convs = sorted(
+        [n for n in w if n.startswith("conv2d")],
+        key=lambda n: int(n.split("_")[-1]),
+    )
+    assert len(convs) == 6, convs
+    flax_names = [
+        ("respond", "conv1_1"), ("respond", "conv1_1_2"),
+        ("conv1_2",), ("conv2_2",), ("conv2_3",), ("out",),
+    ]
+    params: dict = {}
+    for names, h5n in zip(flax_names, convs):
+        k, b = w[h5n]
+        node = params
+        for part in names[:-1]:
+            node = node.setdefault(part, {})
+        node[names[-1]] = {"kernel": k, "bias": b}
+    return {"params": params}
+
+
+def load_voxel_ae_params(path: str | None = None):
+    """Shipped full 3D auto-encoder
+    (``TrainedModels/AutoencoderModel4VoxelPatch.h5``: relu convs/denses,
+    linear 20-dim code, sigmoid out — matching the training script, unlike
+    the tanh encoder-only artifact) -> Flax ``VoxelPatchAE`` params.
+
+    Use with ``VoxelPatchAE(activation='relu', code_activation='linear')``.
+    """
+    path = path or os.path.join(
+        REFERENCE_MODELS_DIR, "AutoencoderModel4VoxelPatch.h5"
+    )
+    w = _h5_layer_weights(path)
+    convs = sorted(
+        [n for n in w if n.startswith("conv3d")],
+        key=lambda n: int(n.split("_")[-1]),
+    )
+    denses = sorted(
+        [n for n in w if n.startswith("dense")],
+        key=lambda n: int(n.split("_")[-1]),
+    )
+    assert len(convs) == 6 and len(denses) == 4, (convs, denses)
+    enc = {}
+    for fx, h5n in zip(["conv1", "conv2", "conv3"], convs[:3]):
+        k, b = w[h5n]
+        enc[fx] = {"kernel": k, "bias": b}
+    for fx, h5n in zip(["fn1", "fn2"], denses[:2]):
+        k, b = w[h5n]
+        enc[fx] = {"kernel": k, "bias": b}
+    params = {"encoder": enc}
+    for fx, h5n in zip(["fn3", "fn4"], denses[2:]):
+        k, b = w[h5n]
+        params[fx] = {"kernel": k, "bias": b}
+    for fx, h5n in zip(["conv2_1", "conv2_2", "out"], convs[3:]):
+        k, b = w[h5n]
+        params[fx] = {"kernel": k, "bias": b}
+    return {"params": params}
+
+
 def reference_models_available() -> bool:
     return h5py is not None and os.path.isdir(REFERENCE_MODELS_DIR)
 

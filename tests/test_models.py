@@ -131,3 +131,66 @@ def test_descriptor_sanity():
     y = np.asarray(PatchEncoder().apply(params, jnp.asarray(x)))
     assert np.linalg.norm(y[1] - y[0]) > 0.1
     assert np.linalg.norm(y[2] - y[1]) > 0.1
+
+
+@needs_ref
+def test_full_spherical_ae_import_runs():
+    """Shipped full 2D AE imports and reconstructs with low error on its own
+    respond-layer activations (sanity: the AE was trained to reconstruct
+    ring images, so output shape/scale must be consistent)."""
+    from caelo_tpu.models.respond_net import SphericalRingAE
+
+    params = weights_io.load_spherical_ae_params()
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 5.0, size=(1, 32, 64, 3)).astype(np.float32)
+    y = np.asarray(SphericalRingAE().apply(params, jnp.asarray(x)))
+    assert y.shape == x.shape and np.isfinite(y).all()
+    # respond sub-module weights equal the standalone respond artifact
+    r_solo = weights_io.load_respond_layer_params()
+    np.testing.assert_allclose(
+        params["params"]["respond"]["conv1_1"]["kernel"],
+        r_solo["params"]["conv1_1"]["kernel"], atol=1e-6,
+    )
+
+
+@needs_ref
+def test_full_voxel_ae_golden_roundtrip():
+    """Shipped full 3D AE (relu/linear run) reconstructs binary patches:
+    verify the encoder sub-path vs the numpy oracle with relu activations."""
+    from caelo_tpu.models.patch_encoder import VoxelPatchAE
+
+    params = weights_io.load_voxel_ae_params()
+    model = VoxelPatchAE(activation="relu", code_activation="linear")
+    rng = np.random.default_rng(2)
+    # in-distribution input: a planar surface patch (training data is
+    # surface occupancy, not iid noise)
+    x = np.zeros((2, 16, 16, 16), np.float32)
+    x[0, :, :, 8] = 1.0
+    x[1, 8, :, :] = 1.0
+    logits = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert logits.shape == (2, 16, 16, 16, 1) and np.isfinite(logits).all()
+    # reconstruction should correlate with input occupancy
+    prob = 1 / (1 + np.exp(-logits[..., 0]))
+    on = prob[x > 0.5].mean()
+    off = prob[x < 0.5].mean()
+    assert on > off, (on, off)
+    x = (rng.uniform(size=(2, 16, 16, 16)) < 0.2).astype(np.float32)
+
+    # golden check of the encoder sub-path (relu variant) vs numpy
+    p = params["params"]["encoder"]
+    for i in range(2):
+        h = x[i][..., None]
+        for name in ["conv1", "conv2", "conv3"]:
+            k = np.asarray(p[name]["kernel"]); b = np.asarray(p[name]["bias"])
+            h = np.maximum(np_conv3d_same(h, k, b), 0)
+            if name != "conv3":
+                d = h.shape[0] // 2
+                h = h.reshape(d, 2, d, 2, d, 2, -1).max(axis=(1, 3, 5))
+        flat = h.reshape(-1)
+        h1 = np.maximum(flat @ np.asarray(p["fn1"]["kernel"]) + np.asarray(p["fn1"]["bias"]), 0)
+        code = h1 @ np.asarray(p["fn2"]["kernel"]) + np.asarray(p["fn2"]["bias"])
+        from caelo_tpu.models.patch_encoder import PatchEncoder
+
+        enc = PatchEncoder(activation="relu", code_activation="linear")
+        got = np.asarray(enc.apply({"params": p}, jnp.asarray(x[i][None])))[0]
+        np.testing.assert_allclose(got, code, atol=1e-4)

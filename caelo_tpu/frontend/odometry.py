@@ -13,6 +13,7 @@ import dataclasses
 from typing import Callable, Iterable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
@@ -94,3 +95,86 @@ def run_odometry(scans: Iterable, respond_params, encoder_params,
         n_inliers=np.array(n_inl, np.int32),
         inlier_pairs=pairs,
     )
+
+
+def run_odometry_windowed(scans, respond_params, encoder_params,
+                          R_tr=None, t_tr=None,
+                          cfg: PipelineConfig = PipelineConfig(),
+                          window: int = 16, seed: int = 0,
+                          keep_features: bool = False,
+                          progress: Optional[Callable[[int], None]] = None
+                          ) -> tuple:
+    """Windowed odometry: ONE jitted program per 16-frame window.
+
+    Compiles two programs total (the window processor + nothing else) and
+    dispatches once per window — versus one extract + one register dispatch
+    per frame in ``run_odometry``.  Frame-to-frame semantics are identical;
+    windows overlap by one frame so every consecutive pair is registered.
+
+    Returns ``(OdometryResult, features_list_or_None)``.
+    """
+    from ..parallel.pipeline import make_sequence_processor
+
+    if R_tr is None:
+        R_tr = np.eye(3)
+    if t_tr is None:
+        t_tr = np.zeros(3)
+    scans = list(scans)
+    n = len(scans)
+    assert n >= 2
+    process = make_sequence_processor(cfg)
+    key = jax.random.key(seed)
+
+    rel_Rs = np.zeros((n - 1, 3, 3))
+    rel_ts = np.zeros((n - 1, 3))
+    succ = np.zeros((n - 1,), bool)
+    n_inl = np.zeros((n - 1,), np.int32)
+    pairs: List = [None] * (n - 1)
+    feats_out: List = [None] * n if keep_features else None
+
+    start = 0
+    while start < n - 1:
+        stop = min(start + window, n)
+        idx = list(range(start, stop))
+        pad = window - len(idx)
+        idx_p = idx + [idx[-1]] * pad          # repeat last frame as padding
+        pts = jnp.stack([jnp.asarray(scans[i][0]) for i in idx_p])
+        msk = jnp.stack([jnp.asarray(scans[i][1]) for i in idx_p])
+        key, sub = jax.random.split(key)
+        feats, regs = process(respond_params, encoder_params, pts, msk, sub)
+        n_real_pairs = len(idx) - 1
+        inl_mask = np.asarray(regs.inlier_mask)
+        idx0 = np.asarray(regs.inlier_idx0)
+        idx1 = np.asarray(regs.inlier_idx1)
+        for k in range(n_real_pairs):
+            g = start + k
+            rel_Rs[g] = np.asarray(regs.R[k], np.float64)
+            rel_ts[g] = np.asarray(regs.t[k], np.float64)
+            succ[g] = bool(regs.success[k])
+            n_inl[g] = int(regs.n_inliers[k])
+            m = inl_mask[k]
+            pairs[g] = (idx0[k][m], idx1[k][m])
+        if keep_features:
+            for j, i in enumerate(idx):
+                if feats_out[i] is None:
+                    feats_out[i] = jax.tree.map(lambda x: x[j], feats)
+        if progress is not None:
+            progress(stop - 1)
+        start = stop - 1                        # 1-frame overlap
+
+    # constant-velocity fallback on failures (same as run_odometry)
+    prevR, prevT = np.eye(3), np.zeros(3)
+    for g in range(n - 1):
+        if not succ[g]:
+            rel_Rs[g] = prevR
+            rel_ts[g] = prevT
+        prevR, prevT = rel_Rs[g], rel_ts[g]
+
+    poses = np.asarray(
+        chain_poses(rel_Rs, rel_ts, np.asarray(R_tr), np.asarray(t_tr))
+    )
+    result = OdometryResult(
+        poses=poses, rel_Rs=rel_Rs, rel_ts=rel_ts, successes=succ,
+        n_inliers=n_inl, inlier_pairs=pairs,
+    )
+    return result, feats_out

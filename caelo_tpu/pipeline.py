@@ -52,21 +52,14 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         t_tr = np.zeros(3)
     scans = list(scans)
 
-    # ---- stage 1: odometry front end (keeps per-frame features for reuse)
-    feats: List = []
+    # ---- stage 1: odometry front end (windowed: one jitted program per
+    # 16-frame window; features kept for loop closure)
+    from .frontend.odometry import run_odometry_windowed
 
-    def feature_fn(pts, mask):
-        from .frontend.registration import extract_frame_features
-
-        f = extract_frame_features(
-            respond_params, encoder_params, jnp.asarray(pts),
-            jnp.asarray(mask), cfg
-        )
-        feats.append(f)
-        return f
-
-    odo = run_odometry(iter(scans), respond_params, encoder_params,
-                       R_tr, t_tr, cfg, seed=seed, feature_fn=feature_fn)
+    odo, feats = run_odometry_windowed(
+        scans, respond_params, encoder_params, R_tr, t_tr, cfg,
+        window=min(16, len(scans)), seed=seed, keep_features=True,
+    )
     poses_raw = odo.poses
 
     # ---- stage 2: de-jump (FixJumpPoses)

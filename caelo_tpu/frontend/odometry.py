@@ -132,16 +132,8 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
     pairs: List = [None] * (n - 1)
     feats_out: List = [None] * n if keep_features else None
 
-    start = 0
-    while start < n - 1:
-        stop = min(start + window, n)
-        idx = list(range(start, stop))
-        pad = window - len(idx)
-        idx_p = idx + [idx[-1]] * pad          # repeat last frame as padding
-        pts = jnp.stack([jnp.asarray(scans[i][0]) for i in idx_p])
-        msk = jnp.stack([jnp.asarray(scans[i][1]) for i in idx_p])
-        key, sub = jax.random.split(key)
-        feats, regs = process(respond_params, encoder_params, pts, msk, sub)
+    def consume(start, idx, feats, regs):
+        """Pull one window's results to host (forces sync on that window)."""
         n_real_pairs = len(idx) - 1
         inl_mask = np.asarray(regs.inlier_mask)
         idx0 = np.asarray(regs.inlier_idx0)
@@ -159,8 +151,28 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
                 if feats_out[i] is None:
                     feats_out[i] = jax.tree.map(lambda x: x[j], feats)
         if progress is not None:
-            progress(stop - 1)
+            progress(idx[-1])
+
+    # double-buffered producer/consumer (the reference hides loader latency
+    # with 4 subprocesses, PoseEstimation.py:91-119; here XLA's async
+    # dispatch computes window k+1 while the host consumes window k)
+    pending = None
+    start = 0
+    while start < n - 1:
+        stop = min(start + window, n)
+        idx = list(range(start, stop))
+        pad = window - len(idx)
+        idx_p = idx + [idx[-1]] * pad          # repeat last frame as padding
+        pts = jnp.stack([jnp.asarray(scans[i][0]) for i in idx_p])
+        msk = jnp.stack([jnp.asarray(scans[i][1]) for i in idx_p])
+        key, sub = jax.random.split(key)
+        feats, regs = process(respond_params, encoder_params, pts, msk, sub)
+        if pending is not None:
+            consume(*pending)
+        pending = (start, idx, feats, regs)
         start = stop - 1                        # 1-frame overlap
+    if pending is not None:
+        consume(*pending)
 
     # constant-velocity fallback on failures (same as run_odometry)
     prevR, prevT = np.eye(3), np.zeros(3)

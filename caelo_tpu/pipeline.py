@@ -67,12 +67,21 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
 
     # ---- stage 3: keyframe-transfer ICP refinement
     if enable_refinement:
-        ref_feats = [
-            extract_refinement_features(
-                respond_params, jnp.asarray(p), jnp.asarray(m), cfg
-            )
-            for p, m in scans
-        ]
+        # batched feature extraction (one dispatch per 16-frame chunk)
+        vext = jax.jit(jax.vmap(
+            lambda p, m: extract_refinement_features(respond_params, p, m, cfg)
+        ))
+        ref_feats = []
+        chunk = min(16, len(scans))
+        for s in range(0, len(scans), chunk):
+            grp = scans[s:s + chunk]
+            pad = chunk - len(grp)
+            grp = grp + [grp[-1]] * pad
+            pts = jnp.stack([jnp.asarray(p) for p, _ in grp])
+            msk = jnp.stack([jnp.asarray(m) for _, m in grp])
+            batched = vext(pts, msk)
+            for j in range(chunk - pad):
+                ref_feats.append(jax.tree.map(lambda x: x[j], batched))
         icp_fn = make_icp_fn(ref_feats, cfg)
 
         def rel_lidar_fn(p0, p1):

@@ -84,18 +84,25 @@ def cmd_odometry(args):
     encoder = weights_io.load_patch_encoder_params(args.encoder_weights)
     R_tr, t_tr = ds.load_calib(args.seq)
     n = ds.n_frames(args.seq) if args.frames < 0 else args.frames
-    feature_fn = None
-    if args.keypoints != "cae-lo":
+    progress = lambda i: print(f"{args.seq}:{n}:{i}", end="\r", flush=True)
+    if args.keypoints == "cae-lo":
+        # fused 16-frame window pipeline (one device dispatch per window)
+        from .frontend.odometry import run_odometry_windowed
+
+        result, _ = run_odometry_windowed(
+            ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
+            window=min(16, n), progress=progress,
+        )
+    else:
         from .frontend.ablation import make_ablation_feature_fn
 
         feature_fn = make_ablation_feature_fn(
             args.keypoints, respond, encoder, cfg
         )
-    result = run_odometry(
-        ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
-        feature_fn=feature_fn,
-        progress=lambda i: print(f"{args.seq}:{n}:{i}", end="\r", flush=True),
-    )
+        result = run_odometry(
+            ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
+            feature_fn=feature_fn, progress=progress,
+        )
     out = os.path.join(args.out, "poses_", f"{args.seq}.txt")
     save_kitti_poses(out, result.poses)
     np.savez(os.path.join(args.out, f"odom_{args.seq}.npz"),

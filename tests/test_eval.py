@@ -77,3 +77,29 @@ def test_kitti_drift_zero_and_nonzero():
     est = trajectory(500, step=1.01)  # 1% scale drift
     out2 = kitti_drift(gt, est, lengths=(100, 200))
     np.testing.assert_allclose(out2["t_rel_pct"], 1.0, rtol=0.1)
+
+
+def test_keypoint_repeatability():
+    from caelo_tpu.eval.metrics import keypoint_repeatability
+    import jax.numpy as jnp
+
+    rng_ = np.random.default_rng(3)
+    kp0 = rng_.uniform(-20, 20, (128, 3)).astype(np.float32)
+    R = Rotation.from_euler("z", 2.0, degrees=True).as_matrix()
+    t = np.array([1.0, 0.2, 0.0])
+    # frame-1 keypoints = same world points seen from the moved sensor:
+    # kp1 = R^T (kp0 - t), so R kp1 + t == kp0 exactly
+    kp1 = ((kp0 - t) @ R).astype(np.float32)
+    out = keypoint_repeatability(
+        jnp.asarray(kp0), jnp.ones(128, bool),
+        jnp.asarray(kp1), jnp.ones(128, bool), R, t,
+    )
+    assert out["median_m"] < 1e-4
+    assert out["fraction_within"][0] == 1.0  # all within 0.1 m
+    # unrelated keypoints are not repeatable
+    kp_bad = rng_.uniform(-20, 20, (128, 3)).astype(np.float32)
+    out2 = keypoint_repeatability(
+        jnp.asarray(kp0), jnp.ones(128, bool),
+        jnp.asarray(kp_bad), jnp.ones(128, bool), np.eye(3), np.zeros(3),
+    )
+    assert out2["median_m"] > out["median_m"]

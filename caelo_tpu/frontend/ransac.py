@@ -5,8 +5,9 @@ solve, 1024-point residual check} with an adaptive threshold ladder
 (``RANSAC4RT``, ``Match.py:162-218``).  On TPU we instead:
 
 * draw all hypotheses at once (``n_hypotheses`` x 4 masked categorical draws),
-* solve every hypothesis in parallel with Horn's quaternion method (batched
-  4x4 ``eigh`` — always a proper rotation, no reflection branch),
+* solve every hypothesis in parallel with Horn's quaternion method (a
+  batched 4x4 Jacobi eigensolver — always a proper rotation, no
+  reflection branch),
 * evaluate all hypotheses against all pairs AND all three threshold rungs
   (0.4 / 0.8 / 1.6 m, the reference's escalation ladder ``Match.py:207-214``)
   with a single broadcasted residual tensor,

@@ -218,6 +218,14 @@ class PipelineConfig:
     refine: RefineConfig = RefineConfig()
     max_points: int = 131072         # padded scan size (KITTI ~120k pts)
     descriptor_dim: int = 60         # 3 scales x 20-dim code
+    # Motion-prior fallback: when a pair fails plain registration, retry with
+    # candidate matches gated to this radius (m) around the constant-velocity
+    # prediction (GenerateTrajactory.m:210 semantics).  0 disables.
+    prior_gate_m: float = 3.0
+    # Model compute dtype for inference ("float32" | "bfloat16").  bf16 runs
+    # the conv stacks at the MXU's native width; descriptors are cast back to
+    # float32 for matching.  Golden bit-compat tests require float32.
+    compute_dtype: str = "float32"
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -19,7 +19,8 @@ import numpy as np
 from ..config import PipelineConfig
 from ..geometry.kitti_pose import chain_poses, lidar_rel_to_cam
 from .registration import (FrameFeatures, PairRegistration,
-                           extract_frame_features, register_pair)
+                           extract_frame_features, register_pair,
+                           register_pair_with_prior)
 
 
 @dataclasses.dataclass
@@ -65,6 +66,16 @@ def run_odometry(scans: Iterable, respond_params, encoder_params,
             key, sub = jax.random.split(key)
             reg: PairRegistration = register_pair(sub, prev_feat, feat, cfg)
             ok = bool(reg.success)
+            if not ok and cfg.prior_gate_m > 0.0:
+                # retry with the constant-velocity motion prior gating the
+                # candidate matches (GenerateTrajactory.m:210 semantics)
+                key, sub = jax.random.split(key)
+                reg = register_pair_with_prior(
+                    sub, prev_feat, feat,
+                    jnp.asarray(prevR, jnp.float32),
+                    jnp.asarray(prevT, jnp.float32), cfg,
+                )
+                ok = bool(reg.success)
             R = np.asarray(reg.R, np.float64)
             t = np.asarray(reg.t, np.float64)
             if not ok:

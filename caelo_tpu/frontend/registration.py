@@ -58,28 +58,35 @@ def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
                            cfg: PipelineConfig = PipelineConfig()
                            ) -> FrameFeatures:
     """Full per-frame front end: padded scan -> keypoints + descriptors."""
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cast = lambda tree: jax.tree.map(lambda x: x.astype(dt), tree)
     image, counter = project_to_spherical_ring(pts, mask, cfg.sensor)
     net_in = model_input(image, cfg.sensor)[None]
-    respond = RespondLayer().apply(respond_params, net_in)[0]
+    respond = RespondLayer().apply(
+        cast(respond_params), net_in.astype(dt)
+    )[0].astype(jnp.float32)
     key_pts, key_pixels, key_mask, _ = select_keypoints(
         image, counter, respond, cfg.sensor, cfg.keypoint
     )
     pyramid = voxelize(pts[:, :3], mask, cfg.voxel)
     patches = extract_patches(key_pts, key_mask, pyramid, cfg.voxel)
     enc = PatchEncoder()
-    codes = [enc.apply(encoder_params, p) for p in patches]
+    enc_params = cast(encoder_params)
+    codes = [
+        enc.apply(enc_params, p.astype(dt)).astype(jnp.float32)
+        for p in patches
+    ]
     descriptors = jnp.concatenate(codes, axis=-1)
     descriptors = jnp.where(key_mask[:, None], descriptors, 0.0)
     return FrameFeatures(key_pts, descriptors, key_mask, key_pixels)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def register_pair(key: jax.Array, f0: FrameFeatures, f1: FrameFeatures,
-                  cfg: PipelineConfig = PipelineConfig()) -> PairRegistration:
-    """Estimate the rigid transform mapping frame-1 points into frame 0
-    (``SolveRelativePose``, ``Match.py:241-283``)."""
+def _register(key, f0, f1, cfg, prior_R=None, prior_t=None,
+              gate_m: float = 0.0) -> PairRegistration:
     pair_idx, pair_mask, pair_dist = match_descriptors(
-        f0.descriptors, f0.mask, f1.descriptors, f1.mask
+        f0.descriptors, f0.mask, f1.descriptors, f1.mask,
+        pts0=f0.key_pts, pts1=f1.key_pts,
+        prior_R=prior_R, prior_t=prior_t, gate_m=gate_m,
     )
     pairs0 = f0.key_pts[pair_idx]
     pairs1 = f1.key_pts
@@ -96,3 +103,30 @@ def register_pair(key: jax.Array, f0: FrameFeatures, f1: FrameFeatures,
         n_inliers=res.n_inliers,
         threshold=res.threshold,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_pair(key: jax.Array, f0: FrameFeatures, f1: FrameFeatures,
+                  cfg: PipelineConfig = PipelineConfig()) -> PairRegistration:
+    """Estimate the rigid transform mapping frame-1 points into frame 0
+    (``SolveRelativePose``, ``Match.py:241-283``)."""
+    return _register(key, f0, f1, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gate_m"))
+def register_pair_with_prior(key: jax.Array, f0: FrameFeatures,
+                             f1: FrameFeatures, prior_R: jnp.ndarray,
+                             prior_t: jnp.ndarray,
+                             cfg: PipelineConfig = PipelineConfig(),
+                             gate_m: float | None = None
+                             ) -> PairRegistration:
+    """``register_pair`` with a constant-velocity motion prior: candidate
+    matches are geometrically gated to ``cfg.prior_gate_m`` meters around
+    the prior-predicted keypoint positions (the reference's MATLAB front end
+    pre-transforms the new cloud by the previous relative motion the same
+    way, ``GenerateTrajactory.m:210,232-237``).  Used as a retry when plain
+    registration fails — e.g. under high yaw rates where descriptor-only
+    matching aliases.  ``gate_m`` overrides the config radius (loop-closure
+    verification uses a wider gate: the prior there is yaw-only)."""
+    return _register(key, f0, f1, cfg, prior_R=prior_R, prior_t=prior_t,
+                     gate_m=cfg.prior_gate_m if gate_m is None else gate_m)

@@ -58,7 +58,8 @@ def make_sequence_processor(cfg: PipelineConfig = PipelineConfig()):
     Returns ``fn(respond_params, encoder_params, pts (B,N,4), mask (B,N),
     key) -> (FrameFeatures batch, PairRegistration batch over B-1 pairs)``.
     """
-    from ..frontend.registration import register_pair
+    from ..frontend.registration import (register_pair,
+                                         register_pair_with_prior)
 
     def process(respond_params, encoder_params, pts, mask, key):
         feats = jax.vmap(
@@ -73,6 +74,38 @@ def make_sequence_processor(cfg: PipelineConfig = PipelineConfig()):
         regs = jax.vmap(lambda k, a, b: register_pair(k, a, b, cfg))(
             keys, f0, f1
         )
+        if cfg.prior_gate_m > 0.0:
+            # motion-prior fallback pass: pair k retries with pair k-1's
+            # pass-1 result as a constant-velocity prior (identity for the
+            # window's first pair / after a failure).  Selected only where
+            # pass 1 failed, so results can only improve.  The whole pass
+            # sits under a lax.cond so the (common) all-success window pays
+            # nothing at runtime — XLA executes only the taken branch.
+            def retry(regs):
+                eye = jnp.broadcast_to(jnp.eye(3, dtype=regs.R.dtype),
+                                       regs.R[:1].shape)
+                zero = jnp.zeros_like(regs.t[:1])
+                ok_prev = regs.success[:-1]
+                prior_R = jnp.concatenate([eye, jnp.where(
+                    ok_prev[:, None, None], regs.R[:-1], eye)], axis=0)
+                prior_t = jnp.concatenate([zero, jnp.where(
+                    ok_prev[:, None], regs.t[:-1], zero)], axis=0)
+                keys2 = jax.vmap(jax.random.fold_in)(
+                    keys, jnp.ones((B - 1,), jnp.uint32))
+                regs2 = jax.vmap(
+                    lambda k, a, b, pR, pt: register_pair_with_prior(
+                        k, a, b, pR, pt, cfg)
+                )(keys2, f0, f1, prior_R, prior_t)
+                use2 = (~regs.success) & regs2.success
+                return jax.tree.map(
+                    lambda rt, first: jnp.where(
+                        use2.reshape((-1,) + (1,) * (rt.ndim - 1)),
+                        rt, first),
+                    regs2, regs,
+                )
+
+            regs = jax.lax.cond(jnp.all(regs.success),
+                                lambda r: r, retry, regs)
         return feats, regs
 
     return jax.jit(process)

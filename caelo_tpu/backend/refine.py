@@ -253,3 +253,114 @@ def refine_odometry(poses, icp_fn: Callable, rel_lidar_fn: Callable,
         max_transfer = cfg.max_transfer_frames
         i = j
     return poses, stats
+
+
+def plan_spans(poses_len: int, inlier_idx_pairs: Sequence | None,
+               max_transfer: int):
+    """Greedy keyframe-span partition [(i, j), ...] over the trajectory —
+    the span starts the sequential ``refine_odometry`` would visit on its
+    accept path (each accepted span advances ``i`` to ``j``)."""
+    spans = []
+    i = 0
+    end_limit = poses_len - 2
+    while i < end_limit:
+        if inlier_idx_pairs is not None:
+            j, _ = transfer_pair_chain(inlier_idx_pairs, i,
+                                       max_frames=max_transfer)
+        else:
+            j = i + 1
+        spans.append((i, j))
+        i = j
+    return spans
+
+
+def refine_odometry_batched(poses, batched_icp_fn: Callable,
+                            rel_lidar_fn: Callable, apply_rel_fn: Callable,
+                            inlier_idx_pairs: Sequence | None = None,
+                            cfg: RefineConfig = RefineConfig()):
+    """Jacobi-style batched refinement: identical decisions to
+    ``refine_odometry`` on its accept path, with the expensive hybrid-ICP
+    solves batched across ALL keyframe spans in two device passes.
+
+    This exploits two invariances: (a) the relative pose between span
+    endpoints is unchanged by ``forward_update`` at earlier frames (the
+    update re-chains later poses with the stored relative motions), and
+    (b) the accept gate compares the ICP-corrected relative pose against the
+    odometry one — absolute poses never enter.  So every span's decision is
+    computable from the batched ICP outputs alone, and the sequential
+    forward-propagation reduces to applying accepted corrections in frame
+    order.
+
+    Fallback semantics differ slightly from the sequential version: a
+    failed/rejected multi-frame span falls back to batched single-step
+    refinement over ALL its steps (pass 2), where the sequential loop
+    retries one step and re-plans from ``i+1``.  This is strictly more work
+    done, in one extra device call.
+
+    Args:
+      batched_icp_fn: ``(idx_i, idx_j, relRs (S,3,3), relTs (S,3)) ->
+        (dRs, dts, oks)`` — batched ICP corrections
+        (``refine_runner.make_batched_icp_fn``).
+    """
+    poses = np.asarray(poses, np.float64).copy()
+    rel_Rs, rel_ts = _all_rels(poses)
+    stats = RefineStats()
+    spans = plan_spans(len(poses), inlier_idx_pairs, cfg.max_transfer_frames)
+    if not spans:
+        return poses, stats
+
+    def decide(i, j, relR, relT, dR, dt, ok):
+        """Replicates the sequential accept gate (RefinePoses.py:304-310)."""
+        if not ok:
+            return None
+        newR = dR @ relR
+        newT = dR @ relT + dt
+        d_eul = np.linalg.norm(_euler_deg(relR) - _euler_deg(newR))
+        d_tr = np.linalg.norm(relT - newT)
+        if d_eul > cfg.accept_euler_deg or d_tr > cfg.accept_trans_m:
+            return None
+        return newR, newT
+
+    def solve(span_list):
+        idx_i = np.array([s[0] for s in span_list], np.int32)
+        idx_j = np.array([s[1] for s in span_list], np.int32)
+        rels = [rel_lidar_fn(poses[a], poses[b]) for a, b in span_list]
+        relRs = np.stack([r for r, _ in rels])
+        relTs = np.stack([t for _, t in rels])
+        dRs, dts, oks = batched_icp_fn(idx_i, idx_j, relRs, relTs)
+        return relRs, relTs, dRs, dts, oks
+
+    # pass 1: all planned spans in one batched call
+    relRs, relTs, dRs, dts, oks = solve(spans)
+    accepted = {}           # j -> (i, newR, newT), applied in frame order
+    fallback_steps = []
+    for k, (i, j) in enumerate(spans):
+        res = decide(i, j, relRs[k], relTs[k], dRs[k], dts[k], bool(oks[k]))
+        if res is not None:
+            accepted[j] = (i, *res)
+            stats.refined.append((i, j))
+        elif j - i > 1:
+            fallback_steps.extend((a, a + 1) for a in range(i, j))
+        else:
+            (stats.failed if not bool(oks[k]) else stats.rejected).append((i, j))
+
+    # pass 2: single-step fallback for failed/rejected long spans
+    if fallback_steps:
+        relRs, relTs, dRs, dts, oks = solve(fallback_steps)
+        for k, (i, j) in enumerate(fallback_steps):
+            res = decide(i, j, relRs[k], relTs[k], dRs[k], dts[k],
+                         bool(oks[k]))
+            if res is not None:
+                accepted[j] = (i, *res)
+                stats.refined.append((i, j))
+            else:
+                (stats.failed if not bool(oks[k])
+                 else stats.rejected).append((i, j))
+
+    # apply accepted corrections in frame order (cheap host chain)
+    for j in sorted(accepted):
+        i, newR, newT = accepted[j]
+        new_pose = apply_rel_fn(poses[i], newR, newT)
+        poses, rel_Rs, rel_ts = forward_update(poses, j, new_pose,
+                                               rel_Rs, rel_ts)
+    return poses, stats

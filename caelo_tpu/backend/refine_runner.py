@@ -109,6 +109,46 @@ def stack_features(features: list, idx) -> RefinementFeatures:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *sel)
 
 
+def make_batched_icp_fn(features: list,
+                        cfg: PipelineConfig = PipelineConfig(),
+                        chunk: int = 16) -> Callable:
+    """Adapt ``refine_pairs_batched`` to the
+    ``refine.refine_odometry_batched`` contract:
+    ``(idx_i, idx_j, relRs, relTs) -> (dRs, dts, oks)``.
+
+    Spans are padded to fixed ``chunk``-sized batches so the vmapped hybrid
+    ICP compiles exactly once regardless of how many spans a trajectory
+    yields."""
+
+    def batched(idx_i, idx_j, relRs, relTs):
+        S = len(idx_i)
+        dRs = np.zeros((S, 3, 3))
+        dts = np.zeros((S, 3))
+        oks = np.zeros((S,), bool)
+        for s in range(0, S, chunk):
+            sel = slice(s, min(s + chunk, S))
+            n = sel.stop - sel.start
+            pad = chunk - n
+            ii = np.concatenate([idx_i[sel], np.repeat(idx_i[sel][-1:], pad)])
+            jj = np.concatenate([idx_j[sel], np.repeat(idx_j[sel][-1:], pad)])
+            rR = np.concatenate(
+                [relRs[sel], np.repeat(relRs[sel][-1:], pad, axis=0)]
+            ).astype(np.float32)
+            rT = np.concatenate(
+                [relTs[sel], np.repeat(relTs[sel][-1:], pad, axis=0)]
+            ).astype(np.float32)
+            f0s = stack_features(features, ii)
+            f1s = stack_features(features, jj)
+            res = refine_pairs_batched(f0s, f1s, jnp.asarray(rR),
+                                       jnp.asarray(rT), cfg)
+            dRs[sel] = np.asarray(res.R, np.float64)[:n]
+            dts[sel] = np.asarray(res.t, np.float64)[:n]
+            oks[sel] = np.asarray(res.success)[:n]
+        return dRs, dts, oks
+
+    return batched
+
+
 def make_icp_fn(features: list, cfg: PipelineConfig = PipelineConfig()
                 ) -> Callable:
     """Adapt ``refine_pair`` to the host-side ``refine_odometry`` contract:

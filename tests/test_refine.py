@@ -118,3 +118,89 @@ def test_refine_odometry_rejects_large_correction():
     )
     assert len(stats.rejected) > 0
     np.testing.assert_allclose(out, poses, atol=1e-9)  # unchanged
+
+
+def _apply_rel(pose0, R, t):
+    R0, t0 = refine._rt(pose0)
+    return refine._row(R0 @ R, R0 @ t + t0)
+
+
+def _as_batched(icp_fn):
+    """Lift a scalar icp_fn into the batched contract."""
+    def batched(idx_i, idx_j, relRs, relTs):
+        out = [icp_fn(int(a), int(b), R, t)
+               for a, b, R, t in zip(idx_i, idx_j, relRs, relTs)]
+        return (np.stack([o[0] for o in out]),
+                np.stack([o[1] for o in out]),
+                np.array([o[2] for o in out], bool))
+    return batched
+
+
+def test_refine_batched_matches_sequential_on_accept_path():
+    poses = straight_trajectory(8)
+    drifted = poses.copy()
+    for i in range(1, 8):
+        drifted[i, 7] = 0.1 * i
+
+    def icp_fn(i, j, relR, relT):
+        true_t = np.array([1.0 * (j - i), 0.0, 0.0])
+        return np.eye(3), true_t - relT, True
+
+    seq, seq_stats = refine.refine_odometry(
+        drifted, icp_fn, refine._rel, _apply_rel
+    )
+    bat, bat_stats = refine.refine_odometry_batched(
+        drifted, _as_batched(icp_fn), refine._rel, _apply_rel
+    )
+    np.testing.assert_allclose(bat, seq, atol=1e-9)
+    assert bat_stats.refined == seq_stats.refined
+
+
+def test_refine_batched_matches_sequential_with_chains():
+    """Multi-frame spans via inlier transfer chains, all accepted."""
+    poses = straight_trajectory(10)
+    drifted = poses.copy()
+    for i in range(1, 10):
+        drifted[i, 7] = 0.05 * i
+    # tracks alive for 3 consecutive pairs, then break
+    pairs = []
+    for k in range(9):
+        if k % 3 == 2:
+            pairs.append((np.array([900 + k]), np.array([901 + k])))
+        else:
+            pairs.append((np.array([5, 6, 7]), np.array([5, 6, 7])))
+
+    def icp_fn(i, j, relR, relT):
+        true_t = np.array([1.0 * (j - i), 0.0, 0.0])
+        return np.eye(3), true_t - relT, True
+
+    seq, seq_stats = refine.refine_odometry(
+        drifted, icp_fn, refine._rel, _apply_rel, inlier_idx_pairs=pairs
+    )
+    bat, bat_stats = refine.refine_odometry_batched(
+        drifted, _as_batched(icp_fn), refine._rel, _apply_rel,
+        inlier_idx_pairs=pairs,
+    )
+    assert any(j - i > 1 for i, j in seq_stats.refined)  # real chains formed
+    np.testing.assert_allclose(bat, seq, atol=1e-9)
+    assert bat_stats.refined == seq_stats.refined
+
+
+def test_refine_batched_single_step_fallback():
+    """A long span whose ICP fails falls back to batched single steps."""
+    poses = straight_trajectory(10)
+    pairs = [(np.array([5, 6, 7]), np.array([5, 6, 7])) for _ in range(9)]
+
+    def icp_fn(i, j, relR, relT):
+        if j - i > 1:
+            return np.eye(3), np.zeros(3), False   # long spans fail
+        return np.eye(3), np.array([0.0, 0.2, 0.0]), True
+
+    bat, stats = refine.refine_odometry_batched(
+        poses, _as_batched(icp_fn), refine._rel, _apply_rel,
+        inlier_idx_pairs=pairs,
+    )
+    # every single step accepted in fallback; corrections propagated
+    assert len(stats.refined) > 0
+    assert all(j - i == 1 for i, j in stats.refined)
+    assert bat[-1, 7] > 0.2  # y corrections accumulated

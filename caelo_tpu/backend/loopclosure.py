@@ -27,6 +27,7 @@ import numpy as np
 
 from ..frontend.matching import squared_distance_matrix
 from .posegraph import PoseGraph
+from .scancontext import align_score, scan_context
 
 
 def frame_global_descriptor(descriptors: jnp.ndarray,
@@ -72,13 +73,22 @@ class LoopClosures(NamedTuple):
 def detect_and_close(features: List, register_fn: Callable,
                      min_gap: int = 100, max_candidates: int = 32,
                      max_accept: int = 16,
-                     dedup_window: int = 10) -> LoopClosures:
+                     dedup_window: int = 10,
+                     use_scan_context: bool = False,
+                     sc_min_score: float = 0.25) -> LoopClosures:
     """Full loop-closure pass over a sequence's FrameFeatures.
 
     Args:
       features: list of per-frame ``FrameFeatures``.
       register_fn: ``(i, j) -> (R, t, success, n_inliers)`` — geometric
-        verification (normally the front end's ``register_pair``).
+        verification (normally the front end's ``register_pair``).  With
+        ``use_scan_context=True`` it is called as ``(i, j, yaw_rad)`` where
+        ``yaw_rad`` is the ScanContext-aligned yaw rotating frame j into
+        frame i (a motion prior for the verification).
+      use_scan_context: re-rank candidates with the polar ScanContext
+        alignment score (``backend.scancontext``) and drop candidates below
+        ``sc_min_score`` before (expensive) geometric verification — higher
+        recall on revisits with orientation change, fewer wasted checks.
 
     Returns loop edges mapping frame j into frame i (the front-end's
     relative-pose convention), weighted by inlier count.
@@ -93,17 +103,38 @@ def detect_and_close(features: List, register_fn: Callable,
     pi, pj = np.asarray(pi), np.asarray(pj)
     pmask = np.asarray(pmask)
 
+    yaws = [None] * len(pi)
+    if use_scan_context:
+        scs = jnp.stack([
+            scan_context(f.key_pts[:, :3], f.mask) for f in features
+        ])
+        sc_scores = np.zeros(len(pi))
+        for k, (i, j, m) in enumerate(zip(pi, pj, pmask)):
+            if not m:
+                sc_scores[k] = -np.inf
+                continue
+            s, y = align_score(scs[int(i)], scs[int(j)])
+            sc_scores[k] = float(s)
+            yaws[k] = float(y)
+        order = np.argsort(-sc_scores, kind="stable")
+        pi, pj, pmask = pi[order], pj[order], pmask[order]
+        yaws = [yaws[k] for k in order]
+        pmask = pmask & (sc_scores[order] >= sc_min_score)
+
     ei, ej, Rs, ts, ws = [], [], [], [], []
     seen = []
     checked = 0
-    for i, j, m in zip(pi, pj, pmask):
+    for i, j, m, yaw in zip(pi, pj, pmask, yaws):
         if not m or len(ei) >= max_accept:
             continue
         if any(abs(int(i) - a) < dedup_window and abs(int(j) - b) < dedup_window
                for a, b in seen):
             continue
         checked += 1
-        R, t, ok, n_inl = register_fn(int(i), int(j))
+        if use_scan_context:
+            R, t, ok, n_inl = register_fn(int(i), int(j), yaw)
+        else:
+            R, t, ok, n_inl = register_fn(int(i), int(j))
         if not ok:
             continue
         seen.append((int(i), int(j)))

@@ -20,7 +20,8 @@ import numpy as np
 from .backend import refine
 from .backend.loopclosure import detect_and_close
 from .backend.posegraph import concat_graphs, odometry_graph, optimize
-from .backend.refine_runner import (extract_refinement_features, make_icp_fn)
+from .backend.refine_runner import (extract_refinement_features,
+                                    make_batched_icp_fn, make_icp_fn)
 from .config import PipelineConfig
 from .frontend.odometry import OdometryResult, run_odometry
 from .frontend.registration import register_pair
@@ -45,7 +46,8 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
                       enable_refinement: bool = True,
                       enable_loop_closure: bool = True,
                       min_loop_gap: int = 100,
-                      seed: int = 0) -> FullPipelineResult:
+                      seed: int = 0,
+                      batched_refine: bool = True) -> FullPipelineResult:
     if R_tr is None:
         R_tr = np.eye(3)
     if t_tr is None:
@@ -82,8 +84,6 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
             batched = vext(pts, msk)
             for j in range(chunk - pad):
                 ref_feats.append(jax.tree.map(lambda x: x[j], batched))
-        icp_fn = make_icp_fn(ref_feats, cfg)
-
         def rel_lidar_fn(p0, p1):
             from .geometry.kitti_pose import rel_pose_lidar
 
@@ -102,10 +102,20 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
             return refine._row(R0 @ np.asarray(dR),
                                R0 @ np.asarray(dt) + t0)
 
-        poses_ref, stats = refine.refine_odometry(
-            poses_dj, icp_fn, rel_lidar_fn, apply_rel_fn,
-            inlier_idx_pairs=odo.inlier_pairs, cfg=cfg.refine,
-        )
+        if batched_refine:
+            # Jacobi-style: all keyframe-span ICP solves in two batched
+            # device passes (refine_runner.refine_pairs_batched)
+            poses_ref, stats = refine.refine_odometry_batched(
+                poses_dj, make_batched_icp_fn(ref_feats, cfg),
+                rel_lidar_fn, apply_rel_fn,
+                inlier_idx_pairs=odo.inlier_pairs, cfg=cfg.refine,
+            )
+        else:
+            poses_ref, stats = refine.refine_odometry(
+                poses_dj, make_icp_fn(ref_feats, cfg), rel_lidar_fn,
+                apply_rel_fn, inlier_idx_pairs=odo.inlier_pairs,
+                cfg=cfg.refine,
+            )
     else:
         poses_ref, stats = poses_dj, refine.RefineStats()
 
@@ -114,13 +124,23 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     poses_final = poses_ref
     if enable_loop_closure and len(scans) > min_loop_gap:
         key = jax.random.key(seed + 7)
+        from .backend.scancontext import yaw_rotation
+        from .frontend.registration import register_pair_with_prior
 
-        def register_fn(i, j):
+        def register_fn(i, j, yaw=None):
             reg = register_pair(key, feats[i], feats[j], cfg)
+            if not bool(reg.success) and yaw is not None:
+                # retry with the ScanContext yaw as a motion prior (wide
+                # gate: the prior carries no translation)
+                reg = register_pair_with_prior(
+                    key, feats[i], feats[j], yaw_rotation(yaw),
+                    jnp.zeros(3, jnp.float32), cfg, gate_m=15.0,
+                )
             return (np.asarray(reg.R), np.asarray(reg.t),
                     bool(reg.success), int(reg.n_inliers))
 
-        loops = detect_and_close(feats, register_fn, min_gap=min_loop_gap)
+        loops = detect_and_close(feats, register_fn, min_gap=min_loop_gap,
+                                 use_scan_context=True)
         n_loops = loops.n_accepted
         if n_loops > 0:
             # build lidar-frame world poses from the refined camera poses

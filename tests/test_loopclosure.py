@@ -79,3 +79,56 @@ def test_detect_and_close_verification_gate(rng):
     assert int(out.edges.edge_i[0]) == 0 and int(out.edges.edge_j[0]) == 240
     np.testing.assert_allclose(np.asarray(out.edges.rel_t[0]), [1, 0, 0])
     assert float(out.edges.weight[0]) == 1.5  # inliers / 100
+
+
+def test_detect_and_close_scan_context_yaw(rng):
+    """With use_scan_context=True, candidates are re-ranked by polar
+    alignment and register_fn receives the aligning yaw."""
+    from caelo_tpu.backend.scancontext import yaw_rotation
+
+    K = 64
+    r = rng.uniform(10, 60, K)
+    th = rng.uniform(-np.pi, np.pi, K)
+    cloud = np.stack([r * np.cos(th), r * np.sin(th),
+                      rng.uniform(-1.5, 4.0, K)], 1).astype(np.float32)
+    yaw_gt = np.radians(90.0)
+    R = np.asarray(yaw_rotation(yaw_gt))
+    base_desc = rng.normal(size=(K, 60)).astype(np.float32)
+
+    feats = []
+    for i in range(250):
+        if i == 0:
+            pts, d = cloud, base_desc
+        elif i == 240:
+            # revisit, rotated by yaw_gt (frame j = frame i rotated)
+            pts = (cloud @ R).astype(np.float32)  # world pts in rotated frame
+            d = base_desc + rng.normal(0, 0.01, (K, 60)).astype(np.float32)
+        else:
+            rr = rng.uniform(10, 60, K)
+            tt = rng.uniform(-np.pi, np.pi, K)
+            pts = np.stack([rr * np.cos(tt), rr * np.sin(tt),
+                            rng.uniform(-1.5, 4.0, K)], 1).astype(np.float32)
+            d = rng.normal(size=(K, 60)).astype(np.float32)
+        feats.append(FrameFeatures(
+            key_pts=jnp.asarray(pts),
+            descriptors=jnp.asarray(d),
+            mask=jnp.ones((K,), bool),
+            key_pixels=jnp.zeros((K, 2), jnp.int32),
+        ))
+
+    got = {}
+
+    def register_fn(i, j, yaw):
+        got[(i, j)] = yaw
+        ok = (i, j) == (0, 240)
+        return np.eye(3), np.zeros(3), ok, 120
+
+    out = detect_and_close(feats, register_fn, min_gap=100, max_candidates=8,
+                           use_scan_context=True)
+    assert out.n_accepted == 1
+    assert (0, 240) in got
+    yaw_est = got[(0, 240)]
+    # frame 240's points are cloud @ R = R^T applied; the yaw rotating frame
+    # j into frame i should recover ±yaw_gt up to a sector (5.6 deg)
+    err = abs((abs(yaw_est) - yaw_gt + np.pi) % (2 * np.pi) - np.pi)
+    assert err < 2 * np.pi / 64 + 1e-6, yaw_est

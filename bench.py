@@ -28,6 +28,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from caelo_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from caelo_tpu.config import PipelineConfig
     from caelo_tpu.data.synthetic import (make_scene, sample_scene_points,
                                           range_filter)

@@ -21,6 +21,9 @@ from caelo_tpu.models import weights_io
 
 
 def main():
+    from caelo_tpu.utils.compcache import enable_compilation_cache
+
+    print("compilation cache:", enable_compilation_cache())
     print("devices:", jax.devices())
     cfg = PipelineConfig()
     print("generating synthetic scan pair...")

@@ -1,9 +1,10 @@
-"""Baseline keypoint detectors: ISS and Harris3D, TPU-vectorized.
+"""Baseline keypoint detectors: ISS, Harris3D, SIFT3D — TPU-vectorized.
 
 The reference drives an external C++ PCL pybind wrapper (``PclKeyPts.py:
 92-122``; parameters at ``:41-58``: ISS salient/NMS radius 2 m, gamma
-0.975/0.975, >=5 neighbors; Harris radius 1 m, NMS threshold 1e-3) purely as
-*evaluation baselines* for the keypoint-comparison study.  Here both are
+0.975/0.975, >=5 neighbors; Harris radius 1 m, NMS threshold 1e-3; SIFT
+min_scale 0.5, 4 octaves, 8 scales/octave, min contrast 0.1) purely as
+*evaluation baselines* for the keypoint-comparison study.  Here all are
 batched JAX ops over a fixed-size downsampled cloud:
 
 * neighborhoods = K nearest points by ``approx_max_k`` over a distance
@@ -11,12 +12,12 @@ batched JAX ops over a fixed-size downsampled cloud:
 * ISS: scatter covariance eigenvalues, saliency lambda3 with the
   gamma-ratio gates, radius NMS;
 * Harris3D: normal-covariance response ``det - k trace^2`` (PCL's
-  formulation) with the same NMS machinery.
+  formulation) with the same NMS machinery;
+* SIFT3D: difference-of-Gaussians scale space over the z field (PCL's
+  ``SIFTKeypointFieldSelector<PointXYZ>`` smooths z), Gaussian KNN
+  smoothing, scale+space extremum test, contrast gate.
 
-SIFT3D is intentionally out of scope: in the reference it is also an
-external PCL binary used only as a comparison row, and its scale-space
-octave pyramid has no odometry role (SURVEY.md section 2.3 allows marking it
-so); ``random_keypoints`` covers the reference's 'random' row.
+``random_keypoints`` covers the reference's 'random' row.
 """
 from __future__ import annotations
 
@@ -134,6 +135,70 @@ def harris3d_keypoints(pts: jnp.ndarray, mask: jnp.ndarray,
                       resp, -jnp.inf)
     kp, km = _radius_nms(pts, mask, score, radius, n_keypoints, idx)
     return KeypointResult(kp, km)
+
+
+@functools.partial(jax.jit, static_argnames=("n_octaves",
+                                             "n_scales_per_octave",
+                                             "n_keypoints", "k"))
+def sift3d_keypoints(pts: jnp.ndarray, mask: jnp.ndarray,
+                     min_scale: float = 0.5, n_octaves: int = 4,
+                     n_scales_per_octave: int = 8,
+                     min_contrast: float = 0.1, n_keypoints: int = 1024,
+                     k: int = 64) -> KeypointResult:
+    """SIFT3D (parameters per ``PclKeyPts.py:53-57``).
+
+    PCL's ``SIFTKeypoint<PointXYZ, ...>`` selects the z coordinate as the
+    'intensity' field; the scale space is z Gaussian-smoothed at geometric
+    scales ``min_scale * 2^(o + i/s)`` across ``n_octaves`` octaves.  Here
+    the smoothing is a Gaussian-weighted mean over each point's K nearest
+    neighbors — one (N, K) distance matrix reweighted per scale, so the
+    whole pyramid is a handful of fused elementwise passes instead of PCL's
+    per-octave KD-tree re-searches.  A keypoint is a point whose DoG
+    response is a max/min both across the two adjacent scales and over its
+    spatial neighbors within 2 sigma, with ``|DoG| > min_contrast``
+    (PCL's extremum + contrast test).  K bounds the support of the largest
+    octaves — acceptable for the comparison-row role this detector plays.
+    """
+    idx = _knn_neighbors(pts, mask, k)
+    nbr = pts[idx]                                    # (N, K, 3)
+    d2 = jnp.sum((nbr - pts[:, None, :]) ** 2, axis=-1)
+    okn = mask[idx] & mask[:, None]
+    zn = jnp.where(okn, nbr[..., 2], 0.0)
+    wv = okn.astype(jnp.float32)
+
+    n_levels = n_octaves * n_scales_per_octave + 1
+    sigmas = min_scale * 2.0 ** (jnp.arange(n_levels, dtype=jnp.float32)
+                                 / n_scales_per_octave)
+
+    def smooth(sig):
+        w = jnp.exp(-d2 / (2.0 * sig * sig)) * wv
+        return jnp.sum(w * zn, axis=-1) / jnp.maximum(
+            jnp.sum(w, axis=-1), 1e-12)
+
+    smoothed = jax.lax.map(smooth, sigmas)            # (S, N)
+    dog = smoothed[1:] - smoothed[:-1]                # (S-1, N)
+
+    def level_score(ell):
+        lo, mid, hi = dog[ell], dog[ell + 1], dog[ell + 2]
+        sig = sigmas[ell + 1]
+        okr = okn & (d2 <= (2.0 * sig) ** 2)
+        nbr_mid = mid[idx]
+        is_max = ((mid > lo) & (mid > hi)
+                  & (mid >= jnp.max(jnp.where(okr, nbr_mid, -jnp.inf),
+                                    axis=1)))
+        is_min = ((mid < lo) & (mid < hi)
+                  & (mid <= jnp.min(jnp.where(okr, nbr_mid, jnp.inf),
+                                    axis=1)))
+        ok = (mask & (is_max | is_min)
+              & (jnp.abs(mid) > min_contrast)
+              & (jnp.sum(okr, axis=1) >= 2))
+        return jnp.where(ok, jnp.abs(mid), -jnp.inf)
+
+    scores = jax.lax.map(level_score, jnp.arange(n_levels - 3))
+    score = jnp.max(scores, axis=0)                   # best over levels
+    vals, top = jax.lax.top_k(score, n_keypoints)
+    out_mask = jnp.isfinite(vals)
+    return KeypointResult(pts[top] * out_mask[:, None], out_mask)
 
 
 def random_keypoints(key, pts, mask, n_keypoints: int = 1024):

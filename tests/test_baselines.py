@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 
 from caelo_tpu.frontend.baselines import (harris3d_keypoints, iss_keypoints,
-                                          random_keypoints)
+                                          random_keypoints, sift3d_keypoints)
 
 
 def corner_scene(rng, n=3000):
@@ -46,6 +46,43 @@ def test_harris_prefers_corner(rng):
     d_corner = np.linalg.norm(kp[:, :2] - [5, 5], axis=1)
     on_walls = (np.abs(kp[:, 0] - 5) < 1.5) | (np.abs(kp[:, 1] - 5) < 1.5)
     assert (on_walls | (d_corner < 8)).mean() > 0.7
+
+
+def test_sift_fires_on_height_structure_not_flat(rng):
+    """DoG of the z field: a flat plane has no contrast anywhere; adding a
+    box gives strong extrema at its height discontinuities."""
+    n = 2000
+    flat = rng.uniform([-20, -20, 0], [20, 20, 0.01], (n, 3)).astype(
+        np.float32)
+    mask = np.ones(n, bool)
+    res = sift3d_keypoints(jnp.asarray(flat), jnp.asarray(mask),
+                           n_keypoints=64)
+    assert int(res.key_mask.sum()) == 0  # no contrast on a plane
+
+    box = rng.uniform([4, 4, 1.9], [8, 8, 2.0], (400, 3)).astype(np.float32)
+    pts = np.concatenate([flat[:-400], box])
+    res = sift3d_keypoints(jnp.asarray(pts), jnp.asarray(mask),
+                           n_keypoints=64)
+    kp = np.asarray(res.key_pts)[np.asarray(res.key_mask)]
+    assert kp.shape[0] > 5
+    # keypoints concentrate at/around the box footprint where z jumps
+    near_box = (kp[:, 0] > 2) & (kp[:, 0] < 10) & (kp[:, 1] > 2) & \
+        (kp[:, 1] < 10)
+    assert near_box.mean() > 0.8
+
+
+def test_sift_respects_mask(rng):
+    """Masked-out points neither fire nor influence the scale space."""
+    n = 1000
+    flat = rng.uniform([-20, -20, 0], [20, 20, 0.01], (n, 3)).astype(
+        np.float32)
+    pts = flat.copy()
+    pts[500:] += [0.0, 0.0, 100.0]  # would be huge contrast if unmasked
+    mask = np.zeros(n, bool)
+    mask[:500] = True
+    res = sift3d_keypoints(jnp.asarray(pts), jnp.asarray(mask),
+                           n_keypoints=64)
+    assert int(res.key_mask.sum()) == 0
 
 
 def test_random_keypoints_masked(rng):

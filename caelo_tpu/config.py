@@ -226,6 +226,13 @@ class PipelineConfig:
     # the conv stacks at the MXU's native width; descriptors are cast back to
     # float32 for matching.  Golden bit-compat tests require float32.
     compute_dtype: str = "float32"
+    # Patch-encoder activations.  The *shipped* reference artifact uses tanh
+    # everywhere (TrainedModels/EncoderModel4VoxelPatch.h5 — authoritative,
+    # SURVEY.md section 2.1), but the reference training recipe
+    # (AE4VoxelPatch.py:184-213) produces relu convs + a linear code, so
+    # from-scratch-trained checkpoints need these knobs to run inference.
+    encoder_activation: str = "tanh"
+    encoder_code_activation: str = "tanh"
 
 
 DEFAULT_CONFIG = PipelineConfig()

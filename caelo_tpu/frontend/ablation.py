@@ -41,7 +41,8 @@ def features_from_keypoints(encoder_params, pts: jnp.ndarray,
     """Describe an externally-chosen keypoint set with the CAE-LO encoder."""
     pyramid = voxelize(pts[:, :3], mask, cfg.voxel)
     patches = extract_patches(key_pts, key_mask, pyramid, cfg.voxel)
-    enc = PatchEncoder()
+    enc = PatchEncoder(activation=cfg.encoder_activation,
+                       code_activation=cfg.encoder_code_activation)
     codes = [enc.apply(encoder_params, p) for p in patches]
     descriptors = jnp.concatenate(codes, axis=-1)
     descriptors = jnp.where(key_mask[:, None], descriptors, 0.0)

@@ -70,7 +70,8 @@ def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
     )
     pyramid = voxelize(pts[:, :3], mask, cfg.voxel)
     patches = extract_patches(key_pts, key_mask, pyramid, cfg.voxel)
-    enc = PatchEncoder()
+    enc = PatchEncoder(activation=cfg.encoder_activation,
+                       code_activation=cfg.encoder_code_activation)
     enc_params = cast(encoder_params)
     codes = [
         enc.apply(enc_params, p.astype(dt)).astype(jnp.float32)

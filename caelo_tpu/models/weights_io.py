@@ -140,6 +140,22 @@ def load_voxel_ae_params(path: str | None = None):
     return {"params": params}
 
 
+def respond_params_from_ae(ae_params):
+    """Extract ``RespondLayer`` inference params from trained
+    ``SphericalRingAE`` params (the 'respond' submodule — the reference's
+    RespondLayer submodel split, ``AE4SphericalRingPC.py:145``)."""
+    return {"params": ae_params["params"]["respond"]}
+
+
+def encoder_params_from_ae(ae_params):
+    """Extract ``PatchEncoder`` inference params from trained
+    ``VoxelPatchAE`` params (the 'encoder' submodule — the reference's
+    encoder submodel split, ``AE4VoxelPatch.py:210``).  Run inference with
+    ``PipelineConfig(encoder_activation='relu',
+    encoder_code_activation='linear')`` to match the training recipe."""
+    return {"params": ae_params["params"]["encoder"]}
+
+
 def reference_models_available() -> bool:
     return h5py is not None and os.path.isdir(REFERENCE_MODELS_DIR)
 

@@ -1,0 +1,172 @@
+"""Train both auto-encoders from scratch and compare against shipped weights.
+
+ROADMAP item 3 (training to convergence): runs the reference's unsupervised
+recipe (AE4SphericalRingPC.py:117-170 MSE/Adam; AE4VoxelPatch.py:163-235
+BCE — we use Adam over the reference's Adadelta, which converges in far
+fewer steps at these model sizes) on synthetic scenes, then evaluates the
+trained descriptors head-to-head with the shipped reference weights on
+held-out registration pairs:
+
+  * registration success rate / RRE / RTE (EvaluationOnRegistration.py
+    semantics),
+  * RANSAC inlier ratio (the matchability metric of GenerateTrajactory.m's
+    Matchablity_*.mat artifacts).
+
+Usage:
+  python examples/train_from_scratch_study.py [--steps2d N] [--steps3d N]
+                                              [--out runs/scratch]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from caelo_tpu.utils.compcache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from caelo_tpu.config import PipelineConfig
+from caelo_tpu.data.synthetic import synthetic_scan_pair
+from caelo_tpu.frontend.registration import extract_frame_features, register_pair
+from caelo_tpu.models import weights_io
+from caelo_tpu.models.patch_encoder import VoxelPatchAE
+from caelo_tpu.models.respond_net import SphericalRingAE
+from caelo_tpu.training.drivers import (patch_batches, respond_batches,
+                                        synthetic_scan_stream)
+from caelo_tpu.training.train import (create_train_state, make_train_step,
+                                      patch_loss, respond_loss)
+
+
+def train_both(cfg: PipelineConfig, steps2d: int, steps3d: int, out: str):
+    # ---- 2D respond AE (MSE/Adam, AE4SphericalRingPC.py:150)
+    model2 = SphericalRingAE()
+    opt2 = optax.adam(1e-3)
+    state2 = create_train_state(
+        model2, jax.random.key(0),
+        jnp.zeros((1, cfg.sensor.model_h, cfg.sensor.model_w, 3)), opt2,
+    )
+    step2 = make_train_step(model2, respond_loss, opt2)
+    losses2 = []
+    t0 = time.time()
+    for i, batch in enumerate(respond_batches(
+            synthetic_scan_stream(cfg, seed=100), cfg, batch=4)):
+        if i >= steps2d:
+            break
+        state2, loss = step2(state2, jnp.asarray(batch))
+        losses2.append(float(loss))
+        if i % 20 == 0:
+            print(f"respond step {i}: loss={losses2[-1]:.5f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    respond_trained = weights_io.respond_params_from_ae(state2.params)
+
+    # ---- 3D voxel-patch AE (BCE, AE4VoxelPatch.py:213), patches anchored at
+    # keypoints detected by the freshly trained respond net
+    model3 = VoxelPatchAE()
+    opt3 = optax.adam(1e-3)
+    state3 = create_train_state(
+        model3, jax.random.key(1), jnp.zeros((1, 16, 16, 16)), opt3,
+    )
+    step3 = make_train_step(model3, patch_loss, opt3)
+    losses3 = []
+    t0 = time.time()
+    for i, batch in enumerate(patch_batches(
+            synthetic_scan_stream(cfg, seed=200), cfg, batch=128,
+            respond_params=respond_trained)):
+        if i >= steps3d:
+            break
+        state3, loss = step3(state3, jnp.asarray(batch))
+        losses3.append(float(loss))
+        if i % 20 == 0:
+            print(f"patch step {i}: loss={losses3[-1]:.5f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    encoder_trained = weights_io.encoder_params_from_ae(state3.params)
+
+    weights_io.save_checkpoint(os.path.join(out, "respond_ae"), state2.params)
+    weights_io.save_checkpoint(os.path.join(out, "patch_ae"), state3.params)
+    return respond_trained, encoder_trained, losses2, losses3
+
+
+def evaluate(tag: str, respond_params, encoder_params, cfg: PipelineConfig,
+             n_pairs: int, seed0: int = 900):
+    """Held-out pair registration quality (scenes unseen in training)."""
+    stats = {"success": [], "rot_err_deg": [], "t_err_m": [],
+             "inlier_ratio": []}
+    for i in range(n_pairs):
+        s0, m0, s1, m1, R_gt, t_gt = synthetic_scan_pair(
+            seed=seed0 + i, cfg=cfg,
+            angle_deg=float(np.random.default_rng(i).uniform(0.5, 3.0)),
+        )
+        f0 = extract_frame_features(respond_params, encoder_params,
+                                    jnp.asarray(s0), jnp.asarray(m0), cfg)
+        f1 = extract_frame_features(respond_params, encoder_params,
+                                    jnp.asarray(s1), jnp.asarray(m1), cfg)
+        reg = register_pair(jax.random.key(i), f0, f1, cfg)
+        R, t = np.asarray(reg.R, np.float64), np.asarray(reg.t, np.float64)
+        cosang = (np.trace(R.T @ R_gt) - 1) / 2
+        rot_err = float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+        t_err = float(np.linalg.norm(t - t_gt))
+        n_valid = int(np.asarray(f1.mask).sum())
+        stats["success"].append(bool(reg.success))
+        stats["rot_err_deg"].append(rot_err)
+        stats["t_err_m"].append(t_err)
+        stats["inlier_ratio"].append(
+            float(np.asarray(reg.n_inliers)) / max(n_valid, 1))
+    ok = np.array(stats["success"])
+    summary = {
+        "tag": tag,
+        "n_pairs": n_pairs,
+        "success_rate": float(ok.mean()),
+        "rot_err_deg_mean": float(np.mean(stats["rot_err_deg"])),
+        "t_err_m_mean": float(np.mean(stats["t_err_m"])),
+        "inlier_ratio_mean": float(np.mean(stats["inlier_ratio"])),
+    }
+    print(json.dumps(summary), flush=True)
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps2d", type=int, default=300)
+    ap.add_argument("--steps3d", type=int, default=400)
+    ap.add_argument("--pairs", type=int, default=8)
+    ap.add_argument("--out", default="runs/scratch")
+    args = ap.parse_args()
+
+    cfg = PipelineConfig()
+    respond_t, encoder_t, l2, l3 = train_both(
+        cfg, args.steps2d, args.steps3d, args.out)
+    print(f"respond loss {l2[0]:.5f} -> {l2[-1]:.5f}; "
+          f"patch loss {l3[0]:.5f} -> {l3[-1]:.5f}", flush=True)
+
+    # trained checkpoints use the training activations (relu convs + linear
+    # code); the shipped artifact is tanh (see models/patch_encoder.py)
+    cfg_trained = dataclasses.replace(
+        cfg, encoder_activation="relu", encoder_code_activation="linear")
+    results = [evaluate("trained-from-scratch", respond_t, encoder_t,
+                        cfg_trained, args.pairs)]
+    if weights_io.reference_models_available():
+        respond_s = weights_io.load_respond_layer_params()
+        encoder_s = weights_io.load_patch_encoder_params()
+        results.append(evaluate("shipped-reference", respond_s, encoder_s,
+                                cfg, args.pairs))
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "study.json"), "w") as f:
+        json.dump({"results": results,
+                   "loss2d": [l2[0], l2[-1]],
+                   "loss3d": [l3[0], l3[-1]]}, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

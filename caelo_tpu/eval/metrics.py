@@ -101,6 +101,61 @@ def keypoint_repeatability(kp0, mask0, kp1, mask1, R01, t01,
             "median_m": float(np.median(d)) if d.size else float("nan")}
 
 
+def loop_closure_pr(edge_i, edge_j, positions, min_gap: int = 50,
+                    revisit_m: float = 5.0, window: int = 10) -> dict:
+    """Precision/recall of detected loop closures against ground truth.
+
+    The reference has no loop-closure evaluation (its loop pipeline is a
+    disabled skeleton, ``RefinePoses.py:477-518``); this scores ours.  A GT
+    *revisit* is a frame pair (i < j) with ``|i-j| >= min_gap`` whose GT
+    positions are within ``revisit_m``.  An accepted edge is a true positive
+    if a GT revisit exists within ``window`` frames of both endpoints; a
+    revisit *event* (a frame j with any qualifying earlier i) counts as
+    recalled if some accepted edge's later endpoint is within ``window`` of
+    j.
+
+    Args:
+      edge_i/edge_j: accepted closure endpoints (any order per edge).
+      positions: ``(N, 3)`` GT frame positions.
+    """
+    pos = np.asarray(positions, np.float64)
+    n = pos.shape[0]
+    ei = np.minimum(np.asarray(edge_i, int), np.asarray(edge_j, int))
+    ej = np.maximum(np.asarray(edge_i, int), np.asarray(edge_j, int))
+    dist = np.linalg.norm(pos[None, :] - pos[:, None], axis=-1)
+    idx = np.arange(n)
+    gt = (dist <= revisit_m) & ((idx[None, :] - idx[:, None]) >= min_gap)
+
+    tp = 0
+    for a, b in zip(ei, ej):
+        ia = slice(max(a - window, 0), min(a + window + 1, n))
+        jb = slice(max(b - window, 0), min(b + window + 1, n))
+        if gt[ia, jb].any():
+            tp += 1
+    precision = tp / len(ei) if len(ei) else float("nan")
+
+    revisit_frames = np.where(gt.any(axis=0))[0]
+    # merge adjacent revisit frames into events
+    events = []
+    for j in revisit_frames:
+        if events and j - events[-1][-1] <= window:
+            events[-1].append(j)
+        else:
+            events.append([j])
+    recalled = sum(
+        1 for ev in events
+        if any(abs(b - j) <= window for b in ej for j in ev)
+    )
+    recall = recalled / len(events) if events else float("nan")
+    return {
+        "precision": precision,
+        "recall": recall,
+        "n_edges": int(len(ei)),
+        "n_true_positive": int(tp),
+        "n_revisit_events": int(len(events)),
+    }
+
+
 def kitti_drift(poses_gt, poses_est,
                 lengths=(100, 200, 300, 400, 500, 600, 700, 800)) -> dict:
     """KITTI odometry devkit-style translational/rotational drift: average

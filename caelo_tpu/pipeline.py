@@ -38,6 +38,12 @@ class FullPipelineResult:
     dejumped_frames: List
     refine_stats: "refine.RefineStats"
     n_loop_closures: int
+    # accepted closure endpoints (frame indices) — score with
+    # eval.metrics.loop_closure_pr against GT positions
+    loop_edge_i: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    loop_edge_j: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32))
 
 
 def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
@@ -122,6 +128,8 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     # ---- stage 4: loop closure + pose-graph solve (lidar-frame graph)
     n_loops = 0
     poses_final = poses_ref
+    loop_ei = np.zeros(0, np.int32)
+    loop_ej = np.zeros(0, np.int32)
     if enable_loop_closure and len(scans) > min_loop_gap:
         key = jax.random.key(seed + 7)
         from .backend.scancontext import yaw_rotation
@@ -142,6 +150,8 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         loops = detect_and_close(feats, register_fn, min_gap=min_loop_gap,
                                  use_scan_context=True)
         n_loops = loops.n_accepted
+        loop_ei = np.asarray(loops.edges.edge_i, np.int32)
+        loop_ej = np.asarray(loops.edges.edge_j, np.int32)
         if n_loops > 0:
             # build lidar-frame world poses from the refined camera poses
             # via the calib conjugation: T_world_lidar = pose @ Tr
@@ -183,4 +193,6 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         dejumped_frames=dejumped,
         refine_stats=stats,
         n_loop_closures=n_loops,
+        loop_edge_i=loop_ei,
+        loop_edge_j=loop_ej,
     )

@@ -103,3 +103,29 @@ def test_keypoint_repeatability():
         jnp.asarray(kp_bad), jnp.ones(128, bool), np.eye(3), np.zeros(3),
     )
     assert out2["median_m"] > out["median_m"]
+
+
+def test_loop_closure_pr():
+    from caelo_tpu.eval.metrics import loop_closure_pr
+
+    # square loop: 40 steps of 2 m per side, frame 160 back at the origin
+    t = []
+    p = np.zeros(3)
+    dirs = [(2, 0, 0), (0, 2, 0), (-2, 0, 0), (0, -2, 0)]
+    for d in dirs:
+        for _ in range(40):
+            t.append(p.copy())
+            p = p + np.asarray(d, float)
+    t.append(np.zeros(3))
+    t = np.asarray(t)
+
+    # one correct closure (160, 2) and one bogus (100, 0)
+    pr = loop_closure_pr([2, 0], [160, 100], t, min_gap=50, revisit_m=5.0,
+                         window=5)
+    assert pr["n_revisit_events"] >= 1
+    assert pr["precision"] == 0.5
+    assert pr["recall"] == 1.0
+
+    # no edges: precision undefined, recall zero
+    pr2 = loop_closure_pr([], [], t, min_gap=50, revisit_m=5.0)
+    assert np.isnan(pr2["precision"]) and pr2["recall"] == 0.0

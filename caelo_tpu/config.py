@@ -89,8 +89,12 @@ class KeypointConfig:
     max_extended: int = 32768        # fixed-size buffer for extended keypoints
     # Use the fused Pallas saliency kernel (ops/pallas_nms.py).  It runs the
     # stencil in 0.04 ms/frame (44,000x the reference cupy kernel) but costs
-    # ~3 min of Mosaic compile for the full sensor shape; the XLA lowering
-    # is already sub-millisecond inside the fused pipeline, so default off.
+    # ~3.5 min of Mosaic compile for the full sensor shape — one-time: the
+    # persistent compilation cache (utils/compcache.py) covers Mosaic, so
+    # warm startups are ~9 s either way.  Measured end-to-end on v5e the
+    # fused 16/64-frame window is the same speed with XLA's lowering (both
+    # sub-ms and latency-bound), so default off; flip on for standalone
+    # saliency workloads where the kernel dominates.
     use_pallas_nms: bool = False
 
 

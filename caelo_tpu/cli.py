@@ -108,10 +108,18 @@ def cmd_odometry(args):
     np.savez(os.path.join(args.out, f"odom_{args.seq}.npz"),
              rel_Rs=result.rel_Rs, rel_ts=result.rel_ts,
              successes=result.successes, n_inliers=result.n_inliers,
+             thresholds=result.thresholds,
              **{f"inl0_{i}": p[0] for i, p in enumerate(result.inlier_pairs)},
              **{f"inl1_{i}": p[1] for i, p in enumerate(result.inlier_pairs)})
+    # the reference's Matchablity_*.mat stats (GenerateTrajactory.m:284-290):
+    # inlier proportion + the adaptive-effort stat (threshold escalations
+    # stand in for its trial counts)
+    inlier_ratio = result.n_inliers.mean() / cfg.keypoint.n_keypoints
+    esc = (result.thresholds > cfg.ransac.residual_thresholds[0]).mean()
     print(f"\nwrote {out}: {len(result.poses)} poses, "
-          f"{result.successes.mean()*100:.1f}% pair success")
+          f"{result.successes.mean()*100:.1f}% pair success, "
+          f"inlier ratio {inlier_ratio*100:.1f}%, "
+          f"threshold escalation {esc*100:.1f}%")
     return 0
 
 

@@ -52,13 +52,26 @@ def relative_pose_errors(poses_gt, poses_est, R_tr, t_tr) -> RegistrationErrors:
 
 def registration_summary(errors: RegistrationErrors,
                          rre_threshold: float = 1.0,
-                         rte_threshold: float = 0.5) -> dict:
-    """The 7-column row of ``EvaluationResults.mat`` minus the RANSAC stats
-    (those come from the front end): RRE, stdRRE, RTE, stdRTE, success."""
+                         rte_threshold: float = 0.5,
+                         n_inliers=None, n_keypoints: int | None = None,
+                         thresholds=None) -> dict:
+    """The 7-column row of ``EvaluationResults.mat``: RRE, stdRRE, RTE,
+    stdRTE, success rate, and — when front-end stats are passed — the inlier
+    ratio and the threshold-escalation stat (our batched-RANSAC analog of
+    the reference's mean trial count, ``EvaluationOnRegistration.py:
+    108-130``).
+
+    Args:
+      n_inliers: optional ``(N-1,)`` per-pair RANSAC inlier counts
+        (``OdometryResult.n_inliers``).
+      n_keypoints: keypoint count per frame (denominator of the inlier
+        ratio; the reference uses the fixed 1024).
+      thresholds: optional ``(N-1,)`` accepted residual rung per pair.
+    """
     rre = np.asarray(errors.rre_deg)
     rte = np.asarray(errors.rte_m)
     ok = (rre < rre_threshold) & (rte < rte_threshold)
-    return {
+    out = {
         "rre_deg": float(rre.mean()),
         "rre_std": float(rre.std()),
         "rte_m": float(rte.mean()),
@@ -66,6 +79,14 @@ def registration_summary(errors: RegistrationErrors,
         "success_rate": float(ok.mean()),
         "n_pairs": int(rre.shape[0]),
     }
+    if n_inliers is not None and n_keypoints:
+        out["inlier_ratio"] = float(
+            np.asarray(n_inliers, np.float64).mean() / n_keypoints)
+    if thresholds is not None:
+        t = np.asarray(thresholds, np.float64)
+        out["mean_threshold_m"] = float(t.mean())
+        out["escalation_rate"] = float((t > t.min()).mean())
+    return out
 
 
 def absolute_trajectory_error(poses_gt, poses_est) -> dict:

@@ -31,6 +31,7 @@ class OdometryResult:
     successes: np.ndarray             # (N-1,) bool
     n_inliers: np.ndarray             # (N-1,) int
     inlier_pairs: List                # per pair: (idx0, idx1) int arrays
+    thresholds: np.ndarray = None     # (N-1,) accepted RANSAC rung (m)
 
 
 def run_odometry(scans: Iterable, respond_params, encoder_params,
@@ -57,7 +58,7 @@ def run_odometry(scans: Iterable, respond_params, encoder_params,
         )
 
     key = jax.random.key(seed)
-    rel_Rs, rel_ts, succ, n_inl, pairs = [], [], [], [], []
+    rel_Rs, rel_ts, succ, n_inl, pairs, ths = [], [], [], [], [], []
     prev_feat: FrameFeatures | None = None
     prevR, prevT = np.eye(3), np.zeros(3)
     for i, (pts, mask) in enumerate(scans):
@@ -88,6 +89,7 @@ def run_odometry(scans: Iterable, respond_params, encoder_params,
             rel_ts.append(t)
             succ.append(ok)
             n_inl.append(int(reg.n_inliers))
+            ths.append(float(reg.threshold))
             prevR, prevT = R, t
         prev_feat = feat
         if progress is not None:
@@ -105,6 +107,7 @@ def run_odometry(scans: Iterable, respond_params, encoder_params,
         successes=np.array(succ, bool),
         n_inliers=np.array(n_inl, np.int32),
         inlier_pairs=pairs,
+        thresholds=np.array(ths, np.float32),
     )
 
 
@@ -140,6 +143,7 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
     rel_ts = np.zeros((n - 1, 3))
     succ = np.zeros((n - 1,), bool)
     n_inl = np.zeros((n - 1,), np.int32)
+    ths = np.zeros((n - 1,), np.float32)
     pairs: List = [None] * (n - 1)
     feats_out: List = [None] * n if keep_features else None
 
@@ -155,6 +159,7 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
             rel_ts[g] = np.asarray(regs.t[k], np.float64)
             succ[g] = bool(regs.success[k])
             n_inl[g] = int(regs.n_inliers[k])
+            ths[g] = float(regs.threshold[k])
             m = inl_mask[k]
             pairs[g] = (idx0[k][m], idx1[k][m])
         if keep_features:
@@ -198,6 +203,6 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
     )
     result = OdometryResult(
         poses=poses, rel_Rs=rel_Rs, rel_ts=rel_ts, successes=succ,
-        n_inliers=n_inl, inlier_pairs=pairs,
+        n_inliers=n_inl, inlier_pairs=pairs, thresholds=ths,
     )
     return result, feats_out

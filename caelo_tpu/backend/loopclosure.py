@@ -30,6 +30,16 @@ from .posegraph import PoseGraph
 from .scancontext import align_score, scan_context
 
 
+@jax.jit
+def _align_score_pairs(scs: jnp.ndarray, idx_i: jnp.ndarray,
+                       idx_j: jnp.ndarray):
+    """Batched ScanContext alignment for candidate pairs: one device call
+    for the whole candidate list instead of a host loop of scalar
+    ``align_score`` dispatches (which costs ~100 ms each over a remote-TPU
+    tunnel and scales with trajectory length)."""
+    return jax.vmap(lambda a, b: align_score(scs[a], scs[b]))(idx_i, idx_j)
+
+
 def frame_global_descriptor(descriptors: jnp.ndarray,
                             mask: jnp.ndarray) -> jnp.ndarray:
     """(K, 60) keypoint descriptors -> (120,) global place signature."""
@@ -108,14 +118,14 @@ def detect_and_close(features: List, register_fn: Callable,
         scs = jnp.stack([
             scan_context(f.key_pts[:, :3], f.mask) for f in features
         ])
-        sc_scores = np.zeros(len(pi))
-        for k, (i, j, m) in enumerate(zip(pi, pj, pmask)):
-            if not m:
-                sc_scores[k] = -np.inf
-                continue
-            s, y = align_score(scs[int(i)], scs[int(j)])
-            sc_scores[k] = float(s)
-            yaws[k] = float(y)
+        # one batched device call for every candidate (masked slots score 0
+        # and are overwritten with -inf below)
+        s_all, y_all = _align_score_pairs(
+            scs, jnp.asarray(pi, jnp.int32), jnp.asarray(pj, jnp.int32)
+        )
+        s_all, y_all = np.asarray(s_all), np.asarray(y_all)
+        sc_scores = np.where(pmask, s_all, -np.inf)
+        yaws = [float(y) for y in y_all]
         order = np.argsort(-sc_scores, kind="stable")
         pi, pj, pmask = pi[order], pj[order], pmask[order]
         yaws = [yaws[k] for k in order]

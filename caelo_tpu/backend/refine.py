@@ -137,25 +137,24 @@ def fix_jump_poses(poses, cfg: RefineConfig = RefineConfig()):
     poses = np.asarray(poses, np.float64).copy()
     fixed = []
     rel_Rs, rel_ts = _all_rels(poses)
-    i = 2
-    while i < len(poses) - 1:
-        eul = np.array([_euler_deg(R) for R in rel_Rs])
-        d_eul = np.linalg.norm(
-            np.abs(eul[1:]) - np.abs(eul[:-1]), axis=1
-        )
-        d_t = np.linalg.norm(
-            np.abs(rel_ts[1:]) - np.abs(rel_ts[:-1]), axis=1
-        )
-        if d_eul[i - 2] > cfg.jump_euler_deg or d_t[i - 2] > cfg.jump_trans_m:
-            R0, t0 = _rt(poses[i - 1])
-            R = R0 @ rel_Rs[i - 2]
-            t = R0 @ rel_ts[i - 2] + t0
-            poses, rel_Rs, rel_ts = forward_update(
-                poses, i, _row(R, t), rel_Rs, rel_ts
-            )
-            rel_Rs, rel_ts = _all_rels(poses)
+    # Replacing the jump step with constant velocity is exactly
+    # ``rel[i-1] := rel[i-2]`` (``forward_update`` keeps every other stored
+    # relative motion), so detection runs on the relative motions alone and
+    # the absolute chain is rebuilt once at the end — O(N) on a 4,541-frame
+    # sequence instead of O(N^2).
+    eul = np.array([_euler_deg(R) for R in rel_Rs])
+    for i in range(2, len(poses) - 1):
+        d_eul = np.linalg.norm(np.abs(eul[i - 1]) - np.abs(eul[i - 2]))
+        d_t = np.linalg.norm(np.abs(rel_ts[i - 1]) - np.abs(rel_ts[i - 2]))
+        if d_eul > cfg.jump_euler_deg or d_t > cfg.jump_trans_m:
+            rel_Rs[i - 1] = rel_Rs[i - 2]
+            rel_ts[i - 1] = rel_ts[i - 2]
+            eul[i - 1] = eul[i - 2]
             fixed.append(i)
-        i += 1
+    if fixed:
+        for k in range(fixed[0], len(poses)):
+            R0, t0 = _rt(poses[k - 1])
+            poses[k] = _row(R0 @ rel_Rs[k - 1], R0 @ rel_ts[k - 1] + t0)
     return poses, fixed
 
 

@@ -93,6 +93,42 @@ def cmd_odometry(args):
             ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
             window=min(16, n), progress=progress,
         )
+    elif args.keypoints == "external":
+        # third-party keypoints/descriptors from their file trees
+        # (EvalOnReg_KeyPts.py:73-204 / Dirs.py:35-41)
+        import itertools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .data.external import ExternalSequence
+        from .frontend.ablation import features_from_keypoints
+
+        if not args.external_dir:
+            print("--keypoints external requires --external-dir",
+                  file=sys.stderr)
+            return 2
+        ext = ExternalSequence(
+            args.external_dir, seq=args.seq, fmt=args.external_fmt,
+            desc_dim=args.external_desc_dim,
+            n_slots=cfg.keypoint.n_keypoints,
+        )
+        counter = itertools.count()
+
+        def feature_fn(pts, mask):
+            f = ext.features(next(counter))
+            if isinstance(f, tuple):   # keypoints only -> CAE-LO descriptors
+                kp, km = f
+                return features_from_keypoints(
+                    encoder, jnp.asarray(pts), jnp.asarray(mask),
+                    jnp.asarray(kp), jnp.asarray(km), cfg,
+                )
+            return jax.tree.map(jnp.asarray, f)
+
+        result = run_odometry(
+            ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
+            feature_fn=feature_fn, progress=progress,
+        )
     else:
         from .frontend.ablation import make_ablation_feature_fn
 
@@ -123,19 +159,96 @@ def cmd_odometry(args):
     return 0
 
 
+def cmd_preprocess(args):
+    """Front-end pass persisting per-frame artifacts + poses_ (the
+    reference's BatchPreprocess + PoseEstimation stages; restartable
+    back-end stages read these via ``cli refine`` / ``cli loop``)."""
+    _setup_platform(args)
+    from .config import PipelineConfig
+    from .data.artifacts import ArtifactStore
+    from .data.kitti import KittiOdometry, save_kitti_poses
+    from .models import weights_io
+    from .pipeline import preprocess_to_store
+
+    cfg = PipelineConfig()
+    ds = KittiOdometry(args.data, cfg)
+    respond = weights_io.load_respond_layer_params()
+    encoder = weights_io.load_patch_encoder_params()
+    R_tr, t_tr = ds.load_calib(args.seq)
+    n = ds.n_frames(args.seq) if args.frames < 0 else args.frames
+    store = ArtifactStore(args.artifacts)
+    progress = lambda i: print(f"{args.seq}:{n}:{i}", end="\r", flush=True)
+    odo = preprocess_to_store(
+        ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
+        store, args.seq, progress=progress,
+    )
+    out = os.path.join(args.out, "poses_", f"{args.seq}.txt")
+    save_kitti_poses(out, odo.poses)
+    print(f"\nwrote {out} + artifacts under {args.artifacts}: "
+          f"{len(odo.poses)} frames, "
+          f"{odo.successes.mean()*100:.1f}% pair success")
+    return 0
+
+
 def cmd_refine(args):
+    """De-jump + (with --artifacts) ICP refinement from stored artifacts:
+    poses_ -> poses__ -> poses___ without touching raw scans
+    (``RefinePoses.py:526-531`` stage toggles ``iDejump/iRefineOdometry``)."""
     _setup_platform(args)
     import numpy as np
 
     from .backend.refine import fix_jump_poses
-    from .config import RefineConfig
+    from .config import PipelineConfig
 
+    cfg = PipelineConfig()
     poses = np.loadtxt(args.poses).reshape(-1, 12)
-    fixed, frames = fix_jump_poses(poses, RefineConfig())
-    out = args.out or args.poses.replace("poses_", "poses__")
+    fixed, frames = fix_jump_poses(poses, cfg.refine)
+    out_dj = args.out or args.poses.replace("poses_", "poses__")
+    os.makedirs(os.path.dirname(out_dj) or ".", exist_ok=True)
+    np.savetxt(out_dj, fixed)
+    print(f"de-jumped {len(frames)} frames -> {out_dj}")
+    if not args.artifacts:
+        return 0
+
+    from .data.artifacts import ArtifactStore
+    from .pipeline import load_stage_inputs, stage_refinement
+
+    data = load_stage_inputs(ArtifactStore(args.artifacts), args.seq)
+    poses_ref, stats = stage_refinement(
+        fixed, data["ref_feats"], data["inlier_pairs"],
+        data["R_tr"], data["t_tr"], cfg,
+    )
+    out_ref = out_dj.replace("poses__", "poses___")
+    np.savetxt(out_ref, poses_ref)
+    print(f"refined {len(stats.refined)} spans "
+          f"({len(stats.failed)} failed, {len(stats.rejected)} rejected) "
+          f"-> {out_ref}")
+    return 0
+
+
+def cmd_loop(args):
+    """Loop closure + pose-graph solve from stored artifacts:
+    poses___ -> poses____ (``CloseLoopPipeline``, ``RefinePoses.py:477-518``
+    — restartable via ``iCloseLoop``-style staging)."""
+    _setup_platform(args)
+    import numpy as np
+
+    from .config import PipelineConfig
+    from .data.artifacts import ArtifactStore
+    from .pipeline import load_stage_inputs, stage_loop_closure
+
+    cfg = PipelineConfig()
+    poses = np.loadtxt(args.poses).reshape(-1, 12)
+    data = load_stage_inputs(ArtifactStore(args.artifacts), args.seq)
+    poses_final, n_loops, ei, ej = stage_loop_closure(
+        poses, data["feats"], data["rel_Rs"], data["rel_ts"],
+        data["R_tr"], data["t_tr"], cfg, min_loop_gap=args.min_gap,
+    )
+    out = args.out or args.poses.replace("poses___", "poses____")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    np.savetxt(out, fixed)
-    print(f"de-jumped {len(frames)} frames -> {out}")
+    np.savetxt(out, poses_final)
+    print(f"closed {n_loops} loops "
+          f"({list(zip(ei.tolist(), ej.tolist()))}) -> {out}")
     return 0
 
 
@@ -186,17 +299,25 @@ def cmd_full(args):
     from .models import weights_io
     from .pipeline import run_full_pipeline
 
+    from .utils.telemetry import MetricsLog, StageTimer
+
     cfg = PipelineConfig()
     ds = KittiOdometry(args.data, cfg)
     respond = weights_io.load_respond_layer_params()
     encoder = weights_io.load_patch_encoder_params()
     R_tr, t_tr = ds.load_calib(args.seq)
     n = ds.n_frames(args.seq) if args.frames < 0 else args.frames
+    timer = StageTimer(sync=False)
+    metrics = MetricsLog(os.path.join(args.out, f"metrics_{args.seq}.jsonl"))
     out = run_full_pipeline(
         list(ds.iter_scans(args.seq, 0, n)), respond, encoder, R_tr, t_tr,
         cfg, enable_refinement=not args.no_refine,
         enable_loop_closure=not args.no_loops,
+        timer=timer, metrics=metrics,
     )
+    metrics.log("stage_timings", **{
+        k: v["total_s"] for k, v in timer.summary().items()
+    })
     # the reference's four-trajectory naming convention (Dirs.py:19-24)
     for name, poses in [("poses_", out.poses_raw),
                         ("poses__", out.poses_dejumped),
@@ -262,8 +383,20 @@ def main(argv=None):
     p.add_argument("--respond-weights", default=None)
     p.add_argument("--encoder-weights", default=None)
     p.add_argument("--keypoints", default="cae-lo",
-                   choices=["cae-lo", "iss", "harris", "random"],
-                   help="keypoint-source ablation (PoseEstimation.py:30-39)")
+                   choices=["cae-lo", "iss", "harris", "sift", "random",
+                            "external"],
+                   help="keypoint-source ablation (PoseEstimation.py:30-39); "
+                        "'external' loads keypoints/descriptors from "
+                        "--external-dir (EvalOnReg_KeyPts.py:73-204)")
+    p.add_argument("--external-dir", default=None,
+                   help="directory of per-frame external keypoint (.bin xyz "
+                        "float32) and descriptor (.bin Utils.m:57-75 layout) "
+                        "files for --keypoints external")
+    p.add_argument("--external-fmt", default="3dfeatnet",
+                   choices=["3dfeatnet", "xyzdesc", "usip"],
+                   help="binary layout of the external files")
+    p.add_argument("--external-desc-dim", type=int, default=32,
+                   help="descriptor dim for the xyzdesc layout")
     _add_common(p)
     p.set_defaults(fn=cmd_odometry)
 
@@ -282,11 +415,38 @@ def main(argv=None):
     _add_common(p)
     p.set_defaults(fn=cmd_scaling)
 
-    p = sub.add_parser("refine", help="de-jump / refine a pose file")
+    p = sub.add_parser("preprocess",
+                       help="front end -> per-frame artifacts + poses_")
+    p.add_argument("--data", required=True, help="KITTI odometry root")
+    p.add_argument("--seq", default="00")
+    p.add_argument("--out", default="runs")
+    p.add_argument("--artifacts", default="runs/artifacts")
+    p.add_argument("--frames", type=int, default=-1)
+    _add_common(p)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("refine",
+                       help="de-jump (+ ICP refine from --artifacts): "
+                            "poses_ -> poses__ -> poses___")
     p.add_argument("--poses", required=True)
     p.add_argument("--out", default=None)
+    p.add_argument("--artifacts", default=None,
+                   help="artifact store from `preprocess`; enables the ICP "
+                        "refinement stage")
+    p.add_argument("--seq", default="00")
     _add_common(p)
     p.set_defaults(fn=cmd_refine)
+
+    p = sub.add_parser("loop",
+                       help="loop closure from artifacts: poses___ -> "
+                            "poses____")
+    p.add_argument("--poses", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--artifacts", required=True)
+    p.add_argument("--seq", default="00")
+    p.add_argument("--min-gap", type=int, default=100)
+    _add_common(p)
+    p.set_defaults(fn=cmd_loop)
 
     p = sub.add_parser("evaluate", help="RRE/RTE/ATE/drift vs ground truth")
     p.add_argument("--gt", required=True)

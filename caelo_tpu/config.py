@@ -119,6 +119,14 @@ class VoxelConfig:
     # per-scale neighbor candidates for patch gather (reference used 496-NN,
     # Voxel.py:182; we use an MXU-friendly 512 via approx_max_k)
     patch_knn: int = 512
+    # patch gather algorithm: "window" = sorted-supercell range queries
+    # (exact box query, ~10x faster on TPU); "knn" = distance matmul +
+    # approx_max_k (the direct analog of the reference's 496-NN)
+    patch_method: str = "window"
+    # per-scale per-supercell candidate caps for the window method; voxels
+    # beyond the cap in one 16^3-aligned supercell are dropped (generous:
+    # a LiDAR surface rarely exceeds ~2 cells/column of a supercell face)
+    supercell_caps: Tuple[int, int, int] = (256, 512, 1024)
 
     @property
     def voxel_sizes(self) -> Tuple[float, float, float]:

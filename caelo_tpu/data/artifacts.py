@@ -16,7 +16,8 @@ from typing import Callable, Dict
 
 import numpy as np
 
-STAGES = ("spherical_ring", "voxel_model", "keypts", "features", "inliers")
+STAGES = ("spherical_ring", "voxel_model", "keypts", "features",
+          "refine_features", "inliers", "meta")
 
 
 class ArtifactStore:

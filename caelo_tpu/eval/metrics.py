@@ -122,6 +122,31 @@ def keypoint_repeatability(kp0, mask0, kp1, mask1, R01, t01,
             "median_m": float(np.median(d)) if d.size else float("nan")}
 
 
+def keypoint_dispersion(kp, mask, bins=None) -> dict:
+    """Within-frame keypoint dispersion: each keypoint's distance to its
+    nearest *other* keypoint in the same frame, histogrammed like
+    repeatability (``ComputeDispersionOfKeypoints``,
+    ``EvaluationOnKeypts.py:83-94``).  The reference fits sklearn 1-NN on the
+    set itself so every query returns itself at distance 0 (its own comment
+    flags this); here self-matches are excluded so the metric is the
+    intended nearest-neighbor spacing.
+    """
+    kp = jnp.asarray(kp)
+    m = jnp.asarray(mask)
+    d2 = jnp.sum((kp[:, None, :] - kp[None, :, :]) ** 2, axis=-1)
+    K = kp.shape[0]
+    eye = jnp.eye(K, dtype=bool)
+    bad = eye | ~m[None, :]
+    d2 = jnp.where(bad, jnp.inf, d2)
+    d = np.asarray(jnp.sqrt(jnp.min(d2, axis=1)))[np.asarray(m)]
+    d = d[np.isfinite(d)]
+    if bins is None:
+        bins = [0.1 * 2**i for i in range(7)]  # 0.1 .. 6.4
+    counts = [float((d < b).mean()) if d.size else float("nan") for b in bins]
+    return {"bins_m": list(bins), "fraction_within": counts,
+            "median_m": float(np.median(d)) if d.size else float("nan")}
+
+
 def loop_closure_pr(edge_i, edge_j, positions, min_gap: int = 50,
                     revisit_m: float = 5.0, window: int = 10) -> dict:
     """Precision/recall of detected loop closures against ground truth.

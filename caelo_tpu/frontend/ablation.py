@@ -26,10 +26,11 @@ import jax.numpy as jnp
 from ..config import PipelineConfig
 from ..models.patch_encoder import PatchEncoder
 from ..voxel.grid import extract_patches, voxelize
-from .baselines import harris3d_keypoints, iss_keypoints, random_keypoints
+from .baselines import (harris3d_keypoints, iss_keypoints, random_keypoints,
+                        sift3d_keypoints)
 from .registration import FrameFeatures
 
-KeypointSource = Literal["cae-lo", "iss", "harris", "random"]
+KeypointSource = Literal["cae-lo", "iss", "harris", "sift", "random"]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -78,6 +79,8 @@ def make_ablation_feature_fn(source: KeypointSource, respond_params,
             res = iss_keypoints(p, m, n_keypoints=n_kp)
         elif source == "harris":
             res = harris3d_keypoints(p, m, n_keypoints=n_kp)
+        elif source == "sift":
+            res = sift3d_keypoints(p, m, n_keypoints=n_kp)
         elif source == "random":
             res = random_keypoints(key, p, m, n_keypoints=n_kp)
         else:

@@ -73,11 +73,15 @@ def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
     enc = PatchEncoder(activation=cfg.encoder_activation,
                        code_activation=cfg.encoder_code_activation)
     enc_params = cast(encoder_params)
-    codes = [
-        enc.apply(enc_params, p.astype(dt)).astype(jnp.float32)
-        for p in patches
-    ]
-    descriptors = jnp.concatenate(codes, axis=-1)
+    # one encoder call over all 3 scales stacked on the batch axis (vs the
+    # reference's three predict() calls, Match.py:130-135): same weights per
+    # scale, 3x fewer kernel launches, better MXU batch shape
+    K = patches[0].shape[0]
+    stacked = jnp.concatenate([p.astype(dt) for p in patches], axis=0)
+    codes_all = enc.apply(enc_params, stacked).astype(jnp.float32)
+    descriptors = jnp.concatenate(
+        [codes_all[i * K:(i + 1) * K] for i in range(len(patches))], axis=-1
+    )
     descriptors = jnp.where(key_mask[:, None], descriptors, 0.0)
     return FrameFeatures(key_pts, descriptors, key_mask, key_pixels)
 

@@ -4,9 +4,14 @@
 The reference runs this as four hand-sequenced scripts communicating through
 pose text files (``PoseEstimation.py`` -> ``poses_``, ``RefinePoses.py``
 de-jump -> ``poses__``, refinement -> ``poses___``, loop closure ->
-``poses____``; naming convention ``Dirs.py:19-24``).  Here it is one
-function with the same staging — every stage's output is kept so the
-four-trajectory convention (and its evaluation) is preserved.
+``poses____``; naming convention ``Dirs.py:19-24``), each stage re-runnable
+from per-frame files (stage toggles ``RefinePoses.py:526-531``,
+``Match.py:287-291``).  Here every stage is a function over explicit inputs;
+``run_full_pipeline`` chains them in memory, while ``preprocess_to_store`` /
+``load_stage_inputs`` persist and reload the same inputs through
+``data.artifacts.ArtifactStore`` so de-jump, refinement, and loop closure
+can re-run from disk without touching raw scans — the reference's
+operational contract, one .npz tree instead of five .mat trees.
 """
 from __future__ import annotations
 
@@ -20,12 +25,15 @@ import numpy as np
 from .backend import refine
 from .backend.loopclosure import detect_and_close
 from .backend.posegraph import concat_graphs, odometry_graph, optimize
-from .backend.refine_runner import (extract_refinement_features,
+from .backend.refine_runner import (RefinementFeatures,
+                                    extract_refinement_features,
                                     make_batched_icp_fn, make_icp_fn)
 from .config import PipelineConfig
+from .data.artifacts import ArtifactStore
 from .frontend.odometry import OdometryResult, run_odometry
-from .frontend.registration import register_pair
+from .frontend.registration import FrameFeatures, register_pair
 from .geometry.kitti_pose import lidar_rel_to_cam, poses_to_rt, rt_to_poses
+from .utils.telemetry import MetricsLog, StageTimer
 
 
 @dataclasses.dataclass
@@ -46,6 +54,210 @@ class FullPipelineResult:
         default_factory=lambda: np.zeros(0, np.int32))
 
 
+# --------------------------------------------------------------- stage fns
+def extract_refinement_features_batched(scans, respond_params,
+                                        cfg: PipelineConfig,
+                                        chunk: int = 16
+                                        ) -> List[RefinementFeatures]:
+    """Per-frame refinement features, one dispatch per ``chunk`` frames."""
+    vext = jax.jit(jax.vmap(
+        lambda p, m: extract_refinement_features(respond_params, p, m, cfg)
+    ))
+    out: List[RefinementFeatures] = []
+    chunk = min(chunk, len(scans))
+    for s in range(0, len(scans), chunk):
+        grp = scans[s:s + chunk]
+        pad = chunk - len(grp)
+        grp = grp + [grp[-1]] * pad
+        pts = jnp.stack([jnp.asarray(p) for p, _ in grp])
+        msk = jnp.stack([jnp.asarray(m) for _, m in grp])
+        batched = vext(pts, msk)
+        for j in range(chunk - pad):
+            out.append(jax.tree.map(lambda x: x[j], batched))
+    return out
+
+
+def stage_refinement(poses_dj, ref_feats, inlier_pairs, R_tr, t_tr,
+                     cfg: PipelineConfig, batched: bool = True):
+    """Keyframe-transfer ICP refinement: poses__ -> poses___
+    (``RefineOdometry``, ``RefinePoses.py:338-464``)."""
+    def rel_lidar_fn(p0, p1):
+        from .geometry.kitti_pose import rel_pose_lidar
+
+        R, t = rel_pose_lidar(
+            jnp.asarray(p0), jnp.asarray(p1),
+            jnp.asarray(R_tr, jnp.float64), jnp.asarray(t_tr, jnp.float64),
+        )
+        return np.asarray(R), np.asarray(t)
+
+    def apply_rel_fn(pose0, relR, relT):
+        dR, dt = lidar_rel_to_cam(
+            jnp.asarray(relR), jnp.asarray(relT),
+            jnp.asarray(R_tr, jnp.float64), jnp.asarray(t_tr, jnp.float64),
+        )
+        R0, t0 = refine._rt(pose0)
+        return refine._row(R0 @ np.asarray(dR), R0 @ np.asarray(dt) + t0)
+
+    if batched:
+        # Jacobi-style: all keyframe-span ICP solves in two batched passes
+        return refine.refine_odometry_batched(
+            poses_dj, make_batched_icp_fn(ref_feats, cfg),
+            rel_lidar_fn, apply_rel_fn,
+            inlier_idx_pairs=inlier_pairs, cfg=cfg.refine,
+        )
+    return refine.refine_odometry(
+        poses_dj, make_icp_fn(ref_feats, cfg), rel_lidar_fn,
+        apply_rel_fn, inlier_idx_pairs=inlier_pairs, cfg=cfg.refine,
+    )
+
+
+def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
+                       cfg: PipelineConfig, min_loop_gap: int = 100,
+                       seed: int = 0):
+    """Loop closure + pose-graph solve: poses___ -> poses____.
+
+    Returns ``(poses_final, n_loops, loop_edge_i, loop_edge_j)``.
+    """
+    from .backend.scancontext import yaw_rotation
+    from .frontend.registration import register_pair_with_prior
+
+    key = jax.random.key(seed + 7)
+
+    def register_fn(i, j, yaw=None):
+        reg = register_pair(key, feats[i], feats[j], cfg)
+        if not bool(reg.success) and yaw is not None:
+            # retry with the ScanContext yaw as a motion prior (wide gate:
+            # the prior carries no translation)
+            reg = register_pair_with_prior(
+                key, feats[i], feats[j], yaw_rotation(yaw),
+                jnp.zeros(3, jnp.float32), cfg, gate_m=15.0,
+            )
+        return (np.asarray(reg.R), np.asarray(reg.t),
+                bool(reg.success), int(reg.n_inliers))
+
+    loops = detect_and_close(feats, register_fn, min_gap=min_loop_gap,
+                             use_scan_context=True)
+    n_loops = loops.n_accepted
+    loop_ei = np.asarray(loops.edges.edge_i, np.int32)
+    loop_ej = np.asarray(loops.edges.edge_j, np.int32)
+    poses_final = poses_ref
+    if n_loops > 0:
+        # build lidar-frame world poses from the refined camera poses via
+        # the calib conjugation: T_world_lidar = pose @ Tr
+        P = np.asarray(poses_ref, np.float64).reshape(-1, 3, 4)
+        R_w = np.einsum("nij,jk->nik", P[:, :, :3], np.asarray(R_tr))
+        t_w = (
+            np.einsum("nij,j->ni", P[:, :, :3], np.asarray(t_tr))
+            + P[:, :, 3]
+        )
+        g = concat_graphs(odometry_graph(rel_Rs, rel_ts), loops.edges)
+        Ro, to, _ = optimize(
+            jnp.asarray(R_w, jnp.float32), jnp.asarray(t_w, jnp.float32),
+            jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype in (jnp.float64,) else x, g
+            ),
+            n_iters=8, cg_iters=60,
+        )
+        # back to camera pose rows: pose = T_world_lidar @ Tr^-1
+        Rti = np.asarray(R_tr).T
+        tti = -Rti @ np.asarray(t_tr)
+        Rc = np.einsum("nij,jk->nik", np.asarray(Ro, np.float64), Rti)
+        tc = (
+            np.einsum("nij,j->ni", np.asarray(Ro, np.float64), tti)
+            + np.asarray(to, np.float64)
+        )
+        poses_final = np.asarray(rt_to_poses(jnp.asarray(Rc), jnp.asarray(tc)))
+    return poses_final, n_loops, loop_ei, loop_ej
+
+
+# ----------------------------------------------------- artifact persistence
+def save_stage_outputs(store: ArtifactStore, seq: str, odo: OdometryResult,
+                       feats: List[FrameFeatures],
+                       ref_feats: List[RefinementFeatures],
+                       R_tr, t_tr) -> None:
+    """Persist everything the back-end stages need: per-frame front-end
+    features (the reference's ``Features/``), per-frame refinement features
+    (``KeyPts/`` extended keypoints), per-pair RANSAC inliers + relative
+    poses (``InliersIdx/`` + the ``poses_`` ingredients), and the calib."""
+    for i, f in enumerate(feats):
+        store.save("features", seq, i,
+                   key_pts=np.asarray(f.key_pts),
+                   descriptors=np.asarray(f.descriptors),
+                   mask=np.asarray(f.mask),
+                   key_pixels=np.asarray(f.key_pixels))
+    for i, f in enumerate(ref_feats):
+        store.save("refine_features", seq, i,
+                   ext_pts=np.asarray(f.ext_pts),
+                   ext_mask=np.asarray(f.ext_mask),
+                   planar=np.asarray(f.planar),
+                   planar_mask=np.asarray(f.planar_mask))
+    for k, (i0, i1) in enumerate(odo.inlier_pairs):
+        store.save("inliers", seq, k, idx0=i0, idx1=i1,
+                   rel_R=odo.rel_Rs[k], rel_t=odo.rel_ts[k],
+                   success=np.asarray(odo.successes[k]),
+                   n_inliers=np.asarray(odo.n_inliers[k]))
+    store.save("meta", seq, "calib", R_tr=np.asarray(R_tr),
+               t_tr=np.asarray(t_tr), n_frames=np.asarray(len(feats)))
+
+
+def load_stage_inputs(store: ArtifactStore, seq: str):
+    """Reload what ``save_stage_outputs`` wrote.  Returns a dict with
+    ``feats``, ``ref_feats``, ``inlier_pairs``, ``rel_Rs``, ``rel_ts``,
+    ``successes``, ``R_tr``, ``t_tr``, ``n_frames``."""
+    calib = store.load("meta", seq, "calib")
+    n = int(calib["n_frames"])
+    feats, ref_feats, pairs, rel_Rs, rel_ts, succ = [], [], [], [], [], []
+    for i in range(n):
+        z = store.load("features", seq, i)
+        feats.append(FrameFeatures(
+            key_pts=jnp.asarray(z["key_pts"]),
+            descriptors=jnp.asarray(z["descriptors"]),
+            mask=jnp.asarray(z["mask"]),
+            key_pixels=jnp.asarray(z["key_pixels"]),
+        ))
+        z = store.load("refine_features", seq, i)
+        ref_feats.append(RefinementFeatures(
+            ext_pts=jnp.asarray(z["ext_pts"]),
+            ext_mask=jnp.asarray(z["ext_mask"]),
+            planar=jnp.asarray(z["planar"]),
+            planar_mask=jnp.asarray(z["planar_mask"]),
+        ))
+    for k in range(n - 1):
+        z = store.load("inliers", seq, k)
+        pairs.append((z["idx0"], z["idx1"]))
+        rel_Rs.append(z["rel_R"])
+        rel_ts.append(z["rel_t"])
+        succ.append(bool(z["success"]))
+    return dict(
+        feats=feats, ref_feats=ref_feats, inlier_pairs=pairs,
+        rel_Rs=np.asarray(rel_Rs).reshape(-1, 3, 3),
+        rel_ts=np.asarray(rel_ts).reshape(-1, 3),
+        successes=np.asarray(succ, bool),
+        R_tr=calib["R_tr"], t_tr=calib["t_tr"], n_frames=n,
+    )
+
+
+def preprocess_to_store(scans, respond_params, encoder_params, R_tr, t_tr,
+                        cfg: PipelineConfig, store: ArtifactStore, seq: str,
+                        seed: int = 0, window: int = 16,
+                        progress=None) -> OdometryResult:
+    """Front-end pass that persists every artifact the back end needs
+    (the reference's ``BatchPreprocess`` + ``PoseEstimation`` stages)."""
+    from .frontend.odometry import run_odometry_windowed
+
+    scans = list(scans)
+    odo, feats = run_odometry_windowed(
+        scans, respond_params, encoder_params, R_tr, t_tr, cfg,
+        window=min(window, len(scans)), seed=seed, keep_features=True,
+        progress=progress,
+    )
+    ref_feats = extract_refinement_features_batched(scans, respond_params, cfg)
+    save_stage_outputs(store, seq, odo, feats, ref_feats, R_tr, t_tr)
+    return odo
+
+
+# ------------------------------------------------------------ full pipeline
 def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
                       R_tr=None, t_tr=None,
                       cfg: PipelineConfig = PipelineConfig(),
@@ -53,75 +265,53 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
                       enable_loop_closure: bool = True,
                       min_loop_gap: int = 100,
                       seed: int = 0,
-                      batched_refine: bool = True) -> FullPipelineResult:
+                      batched_refine: bool = True,
+                      timer: Optional[StageTimer] = None,
+                      metrics: Optional[MetricsLog] = None
+                      ) -> FullPipelineResult:
     if R_tr is None:
         R_tr = np.eye(3)
     if t_tr is None:
         t_tr = np.zeros(3)
     scans = list(scans)
+    timer = timer or StageTimer(sync=False)
 
     # ---- stage 1: odometry front end (windowed: one jitted program per
     # 16-frame window; features kept for loop closure)
     from .frontend.odometry import run_odometry_windowed
 
-    odo, feats = run_odometry_windowed(
-        scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-        window=min(16, len(scans)), seed=seed, keep_features=True,
-    )
+    with timer.stage("frontend"):
+        odo, feats = run_odometry_windowed(
+            scans, respond_params, encoder_params, R_tr, t_tr, cfg,
+            window=min(16, len(scans)), seed=seed, keep_features=True,
+        )
     poses_raw = odo.poses
+    if metrics:
+        metrics.log("frontend", frames=len(scans),
+                    pair_success_rate=float(odo.successes.mean()),
+                    mean_inliers=float(odo.n_inliers.mean()))
 
     # ---- stage 2: de-jump (FixJumpPoses)
-    poses_dj, dejumped = refine.fix_jump_poses(poses_raw, cfg.refine)
+    with timer.stage("dejump"):
+        poses_dj, dejumped = refine.fix_jump_poses(poses_raw, cfg.refine)
+    if metrics:
+        metrics.log("dejump", fixed=len(dejumped))
 
     # ---- stage 3: keyframe-transfer ICP refinement
     if enable_refinement:
-        # batched feature extraction (one dispatch per 16-frame chunk)
-        vext = jax.jit(jax.vmap(
-            lambda p, m: extract_refinement_features(respond_params, p, m, cfg)
-        ))
-        ref_feats = []
-        chunk = min(16, len(scans))
-        for s in range(0, len(scans), chunk):
-            grp = scans[s:s + chunk]
-            pad = chunk - len(grp)
-            grp = grp + [grp[-1]] * pad
-            pts = jnp.stack([jnp.asarray(p) for p, _ in grp])
-            msk = jnp.stack([jnp.asarray(m) for _, m in grp])
-            batched = vext(pts, msk)
-            for j in range(chunk - pad):
-                ref_feats.append(jax.tree.map(lambda x: x[j], batched))
-        def rel_lidar_fn(p0, p1):
-            from .geometry.kitti_pose import rel_pose_lidar
-
-            R, t = rel_pose_lidar(
-                jnp.asarray(p0), jnp.asarray(p1),
-                jnp.asarray(R_tr, jnp.float64), jnp.asarray(t_tr, jnp.float64),
+        with timer.stage("refine_features"):
+            ref_feats = extract_refinement_features_batched(
+                scans, respond_params, cfg
             )
-            return np.asarray(R), np.asarray(t)
-
-        def apply_rel_fn(pose0, relR, relT):
-            dR, dt = lidar_rel_to_cam(
-                jnp.asarray(relR), jnp.asarray(relT),
-                jnp.asarray(R_tr, jnp.float64), jnp.asarray(t_tr, jnp.float64),
+        with timer.stage("refine"):
+            poses_ref, stats = stage_refinement(
+                poses_dj, ref_feats, odo.inlier_pairs, R_tr, t_tr, cfg,
+                batched=batched_refine,
             )
-            R0, t0 = refine._rt(pose0)
-            return refine._row(R0 @ np.asarray(dR),
-                               R0 @ np.asarray(dt) + t0)
-
-        if batched_refine:
-            # Jacobi-style: all keyframe-span ICP solves in two batched
-            # device passes (refine_runner.refine_pairs_batched)
-            poses_ref, stats = refine.refine_odometry_batched(
-                poses_dj, make_batched_icp_fn(ref_feats, cfg),
-                rel_lidar_fn, apply_rel_fn,
-                inlier_idx_pairs=odo.inlier_pairs, cfg=cfg.refine,
-            )
-        else:
-            poses_ref, stats = refine.refine_odometry(
-                poses_dj, make_icp_fn(ref_feats, cfg), rel_lidar_fn,
-                apply_rel_fn, inlier_idx_pairs=odo.inlier_pairs,
-                cfg=cfg.refine,
-            )
+        if metrics:
+            metrics.log("refine", refined=len(stats.refined),
+                        failed=len(stats.failed),
+                        rejected=len(stats.rejected))
     else:
         poses_ref, stats = poses_dj, refine.RefineStats()
 
@@ -131,58 +321,13 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     loop_ei = np.zeros(0, np.int32)
     loop_ej = np.zeros(0, np.int32)
     if enable_loop_closure and len(scans) > min_loop_gap:
-        key = jax.random.key(seed + 7)
-        from .backend.scancontext import yaw_rotation
-        from .frontend.registration import register_pair_with_prior
-
-        def register_fn(i, j, yaw=None):
-            reg = register_pair(key, feats[i], feats[j], cfg)
-            if not bool(reg.success) and yaw is not None:
-                # retry with the ScanContext yaw as a motion prior (wide
-                # gate: the prior carries no translation)
-                reg = register_pair_with_prior(
-                    key, feats[i], feats[j], yaw_rotation(yaw),
-                    jnp.zeros(3, jnp.float32), cfg, gate_m=15.0,
-                )
-            return (np.asarray(reg.R), np.asarray(reg.t),
-                    bool(reg.success), int(reg.n_inliers))
-
-        loops = detect_and_close(feats, register_fn, min_gap=min_loop_gap,
-                                 use_scan_context=True)
-        n_loops = loops.n_accepted
-        loop_ei = np.asarray(loops.edges.edge_i, np.int32)
-        loop_ej = np.asarray(loops.edges.edge_j, np.int32)
-        if n_loops > 0:
-            # build lidar-frame world poses from the refined camera poses
-            # via the calib conjugation: T_world_lidar = pose @ Tr
-            P = poses_ref.reshape(-1, 3, 4)
-            R_w = np.einsum("nij,jk->nik", P[:, :, :3], np.asarray(R_tr))
-            t_w = (
-                np.einsum("nij,j->ni", P[:, :, :3], np.asarray(t_tr))
-                + P[:, :, 3]
+        with timer.stage("loop_closure"):
+            poses_final, n_loops, loop_ei, loop_ej = stage_loop_closure(
+                poses_ref, feats, odo.rel_Rs, odo.rel_ts, R_tr, t_tr, cfg,
+                min_loop_gap=min_loop_gap, seed=seed,
             )
-            g = concat_graphs(
-                odometry_graph(odo.rel_Rs, odo.rel_ts), loops.edges
-            )
-            Ro, to, _ = optimize(
-                jnp.asarray(R_w, jnp.float32), jnp.asarray(t_w, jnp.float32),
-                jax.tree.map(
-                    lambda x: x.astype(jnp.float32)
-                    if x.dtype in (jnp.float64,) else x, g
-                ),
-                n_iters=8, cg_iters=60,
-            )
-            # back to camera pose rows: pose = T_world_lidar @ Tr^-1
-            Rti = np.asarray(R_tr).T
-            tti = -Rti @ np.asarray(t_tr)
-            Rc = np.einsum("nij,jk->nik", np.asarray(Ro, np.float64), Rti)
-            tc = (
-                np.einsum("nij,j->ni", np.asarray(Ro, np.float64), tti)
-                + np.asarray(to, np.float64)
-            )
-            poses_final = np.asarray(
-                rt_to_poses(jnp.asarray(Rc), jnp.asarray(tc))
-            )
+        if metrics:
+            metrics.log("loop_closure", accepted=n_loops)
 
     return FullPipelineResult(
         poses_raw=poses_raw,

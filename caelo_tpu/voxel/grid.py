@@ -128,6 +128,71 @@ def _patches_one_scale(key_vox, key_mask, vox, vox_mask, cfg: VoxelConfig,
     return occ[:-1].reshape(K, P, P, P)
 
 
+def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
+                              cfg: VoxelConfig, scale: int):
+    """16^3 occupancy patches via supercell range queries (no KNN).
+
+    Voxels are sorted by the id of their 16-voxel-aligned *supercell*; a
+    keypoint's patch window [kv-8, kv+8) overlaps at most 2x2x2 supercells,
+    so the candidate set is 8 contiguous runs of the sorted array found with
+    vectorized binary search.  This replaces the distance-matmul +
+    ``approx_max_k`` KNN (the reference's sklearn 496-NN, ``Voxel.py:
+    182-196``) with ~1 ms of sort + gather + scatter on TPU — and is *more*
+    faithful: no nearest-k truncation, only a generous per-supercell cap.
+    """
+    K = kv.shape[0]
+    P = cfg.patch_size
+    R = cfg.patch_radius
+    M = vox.shape[0]
+    C = min(cfg.supercell_caps[scale], M)
+    g = cfg.grid_shape(scale)
+    sgy = -(-g[1] // P)
+    sgz = -(-g[2] // P)
+    sgx = -(-g[0] // P)
+
+    sc = vox // P                                     # (M, 3) supercell coords
+    lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
+    lin = jnp.where(vox_mask, lin, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(lin)
+    lin_sorted = lin[order]
+    vox_sorted = vox[order]
+
+    # the window's up-to-8 covering supercells
+    base = jnp.floor_divide(kv - R, P)                # (K, 3), may be negative
+    dx = jnp.arange(2, dtype=jnp.int32)
+    nb = (base[:, None, None, None, :]
+          + jnp.stack(jnp.meshgrid(dx, dx, dx, indexing="ij"),
+                      axis=-1)[None])                 # (K, 2, 2, 2, 3)
+    nb = nb.reshape(K, 8, 3)
+    sg = jnp.array([sgx, sgy, sgz], jnp.int32)
+    ok_nb = jnp.all((nb >= 0) & (nb < sg), axis=-1)   # (K, 8)
+    qlin = nb[..., 0] * (sgy * sgz) + nb[..., 1] * sgz + nb[..., 2]
+    qlin = jnp.where(ok_nb, qlin, -1)
+
+    left = jnp.searchsorted(lin_sorted, qlin, side="left")
+    right = jnp.searchsorted(lin_sorted, qlin, side="right")
+    cnt = right - left                                # (K, 8)
+
+    take = left[..., None] + jnp.arange(C, dtype=jnp.int32)   # (K, 8, C)
+    valid = jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt[..., None]
+    cand = vox_sorted[jnp.clip(take, 0, M - 1)]       # (K, 8, C, 3)
+
+    off = cand - kv[:, None, None, :]
+    in_box = (jnp.all((off >= -R) & (off < R), axis=-1)
+              & valid & key_mask[:, None, None])
+    cell = ((off[..., 0] + R) * P * P + (off[..., 1] + R) * P
+            + (off[..., 2] + R))
+    flat = jnp.where(
+        in_box,
+        jnp.arange(K, dtype=jnp.int32)[:, None, None] * (P * P * P) + cell,
+        K * P * P * P,
+    )
+    occ = jnp.zeros((K * P * P * P + 1,), jnp.float32).at[
+        flat.reshape(-1)
+    ].max(in_box.reshape(-1).astype(jnp.float32), mode="drop")
+    return occ[:-1].reshape(K, P, P, P)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_patches(key_pts: jnp.ndarray, key_mask: jnp.ndarray,
                     pyramid: VoxelPyramid, cfg: VoxelConfig = VoxelConfig()):
@@ -137,13 +202,20 @@ def extract_patches(key_pts: jnp.ndarray, key_mask: jnp.ndarray,
     0.02 / 0.16 / 0.64 m -> receptive fields 0.32 / 2.56 / 10.24 m), matching
     the reference's ``PatchesList`` (``Voxel.py:177-216``) minus the trailing
     singleton channel axis.
+
+    ``cfg.patch_method`` selects the supercell window-query path (default;
+    see ``_patches_one_scale_window``) or the legacy KNN path (``"knn"``,
+    the direct analog of the reference's 496-NN + box filter).
     """
     out = []
     for s in range(len(cfg.scale_ratios)):
         kv = keypoint_voxels(key_pts, s, cfg)
-        out.append(
-            _patches_one_scale(
+        if cfg.patch_method == "window":
+            out.append(_patches_one_scale_window(
+                kv, key_mask, pyramid.coords[s], pyramid.masks[s], cfg, s
+            ))
+        else:
+            out.append(_patches_one_scale(
                 kv, key_mask, pyramid.coords[s], pyramid.masks[s], cfg
-            )
-        )
+            ))
     return tuple(out)

@@ -40,6 +40,10 @@ class SensorConfig:
     edge_filter: int = 8           # Size4FilterTopEdge
     visible_bottom: float = 10.0   # min keypoint range (m)
     visible_range: float = 100.0
+    # Velodyne beam-angle intrinsic fix, applied at scan load when nonzero
+    # (reference applies 0.22 deg in its data path: GenerateTrajactory.m:186-190,
+    # Transformations.py:28-39).  0.0 = off.
+    beam_correction_deg: float = 0.0
 
     @property
     def azimuth_res(self) -> float:
@@ -127,6 +131,10 @@ class VoxelConfig:
     # beyond the cap in one 16^3-aligned supercell are dropped (generous:
     # a LiDAR surface rarely exceeds ~2 cells/column of a supercell face)
     supercell_caps: Tuple[int, int, int] = (256, 512, 1024)
+    # keypoints per lax.map chunk in the window query: bounds the candidate
+    # gather temp ((chunk, 8, cap, 3) int32) so a 64-frame window vmap
+    # doesn't materialize multi-GB buffers.  0 = one unchunked call.
+    patch_query_chunk: int = 128
 
     @property
     def voxel_sizes(self) -> Tuple[float, float, float]:
@@ -245,6 +253,12 @@ class PipelineConfig:
     # from-scratch-trained checkpoints need these knobs to run inference.
     encoder_activation: str = "tanh"
     encoder_code_activation: str = "tanh"
+    # Patch-encoder batch chunk: the merged 3-scale encoder call runs as a
+    # lax.map over chunks of this many patches so the conv activations stay
+    # bounded when the per-frame program is vmapped over a large window
+    # (64 frames x 3072 patches x 16^3 x 8ch f32 = 25.7 GB unchunked — OOMs
+    # a 16 GB v5e).  0 = single unchunked call.
+    encoder_chunk: int = 1024
 
 
 DEFAULT_CONFIG = PipelineConfig()

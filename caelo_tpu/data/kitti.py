@@ -23,6 +23,20 @@ from ..geometry.kitti_pose import load_calib_tr
 from ..ops.masking import pad_points
 
 
+def apply_beam_correction(pts: np.ndarray, mask: np.ndarray,
+                          deg: float) -> np.ndarray:
+    """Apply the beam-angle intrinsic fix to a padded ``(N, 4)`` scan's xyz
+    (no-op when ``deg`` is 0; padded rows untouched)."""
+    if not deg:
+        return pts
+    from ..geometry.se3 import correct_beam_angle_np
+
+    xyz = correct_beam_angle_np(pts[:, :3], deg)
+    return np.concatenate(
+        [np.where(mask[:, None], xyz, pts[:, :3]), pts[:, 3:]], axis=1
+    ).astype(np.float32)
+
+
 class KittiOdometry:
     def __init__(self, root: str, cfg: PipelineConfig = PipelineConfig()):
         self.root = root
@@ -40,10 +54,15 @@ class KittiOdometry:
 
     def load_scan(self, seq: str, frame: int):
         """Return padded ``(max_points, 4)`` scan + validity mask (native
-        C++ loader when available, numpy fallback otherwise)."""
+        C++ loader when available, numpy fallback otherwise).  Applies the
+        beam-angle intrinsic fix when ``cfg.sensor.beam_correction_deg`` is
+        nonzero (reference ``GenerateTrajactory.m:186-190``)."""
         from .native_loader import load_scan as native_load
 
-        return native_load(self.scan_path(seq, frame), self.cfg.max_points)
+        pts, mask = native_load(self.scan_path(seq, frame),
+                                self.cfg.max_points)
+        return apply_beam_correction(
+            pts, mask, self.cfg.sensor.beam_correction_deg), mask
 
     def iter_scans(self, seq: str, start: int = 0,
                    stop: int | None = None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -54,7 +73,9 @@ class KittiOdometry:
 
         stop = self.n_frames(seq) if stop is None else stop
         paths = [self.scan_path(seq, i) for i in range(start, stop)]
-        yield from ScanPrefetcher(paths, self.cfg.max_points)
+        deg = self.cfg.sensor.beam_correction_deg
+        for pts, mask in ScanPrefetcher(paths, self.cfg.max_points):
+            yield apply_beam_correction(pts, mask, deg), mask
 
     def load_poses(self, seq: str) -> np.ndarray:
         return np.loadtxt(os.path.join(self.root, "poses", f"{seq}.txt"))

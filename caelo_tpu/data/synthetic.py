@@ -100,10 +100,17 @@ def range_filter(pts: np.ndarray, sensor: SensorConfig = SensorConfig()):
 
 def synthetic_scan_pair(seed: int = 0, cfg: PipelineConfig = PipelineConfig(),
                         angle_deg: float = 1.5,
-                        translation=(1.2, 0.15, 0.02)):
+                        translation=(1.2, 0.15, 0.02),
+                        beam_error_deg: float = 0.0):
     """Two padded scans of the same scene from poses related by a known
     rigid motion.  Returns (scan0, mask0, scan1, mask1, R_gt, t_gt) where
     ``R_gt, t_gt`` map frame-1 points into frame 0 (reference convention).
+
+    ``beam_error_deg`` simulates the Velodyne beam-angle miscalibration the
+    reference corrects at load time (``GenerateTrajactory.m:186-190``): each
+    emitted point is rotated by ``-beam_error_deg`` about ``p x z``, so
+    applying ``correct_beam_angle(+beam_error_deg)`` restores the true
+    geometry (see ``kitti.apply_beam_correction``).
     """
     scene = make_scene(seed)
     world = sample_scene_points(scene, seed, n_points=cfg.max_points)
@@ -123,6 +130,10 @@ def synthetic_scan_pair(seed: int = 0, cfg: PipelineConfig = PipelineConfig(),
         # world -> sensor frame: x_s = R^T (x_w - t)
         local = (world_pts - sensor_t) @ sensor_R
         local = range_filter(local.astype(np.float32), cfg.sensor)
+        if beam_error_deg:
+            from ..geometry.se3 import correct_beam_angle_np
+
+            local = correct_beam_angle_np(local, -beam_error_deg)
         rng = np.random.default_rng(sub_seed)
         local = local + rng.normal(0, 0.005, local.shape).astype(np.float32)
         refl = rng.uniform(0, 1, (local.shape[0], 1)).astype(np.float32)

@@ -78,7 +78,16 @@ def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
     # scale, 3x fewer kernel launches, better MXU batch shape
     K = patches[0].shape[0]
     stacked = jnp.concatenate([p.astype(dt) for p in patches], axis=0)
-    codes_all = enc.apply(enc_params, stacked).astype(jnp.float32)
+    ck = cfg.encoder_chunk
+    if ck and stacked.shape[0] > ck and stacked.shape[0] % ck == 0:
+        # chunked lax.map keeps the conv activations bounded (HBM), while
+        # each chunk is still a full MXU batch; chunks pipeline back-to-back
+        chunks = stacked.reshape(-1, ck, *stacked.shape[1:])
+        codes_all = jax.lax.map(lambda c: enc.apply(enc_params, c), chunks)
+        codes_all = codes_all.reshape(
+            stacked.shape[0], -1).astype(jnp.float32)
+    else:
+        codes_all = enc.apply(enc_params, stacked).astype(jnp.float32)
     descriptors = jnp.concatenate(
         [codes_all[i * K:(i + 1) * K] for i in range(len(patches))], axis=-1
     )

@@ -324,6 +324,26 @@ def correct_beam_angle(pts: jnp.ndarray, angle_deg: float = 0.22) -> jnp.ndarray
     return jnp.where(n < 1e-12, pts, out)
 
 
+def correct_beam_angle_np(pts: "np.ndarray", angle_deg: float = 0.22):
+    """Host-side (numpy) twin of :func:`correct_beam_angle` for the scan
+    loaders — scan IO is host code, so the per-scan intrinsic fix must not
+    dispatch to the device.  Same math: rotate each point by ``angle_deg``
+    about ``p x z`` (Rodrigues on the per-point axis)."""
+    import numpy as np
+
+    pts = np.asarray(pts)
+    z = np.array([0.0, 0.0, 1.0], pts.dtype)
+    axis = np.cross(pts, z)
+    n = np.linalg.norm(axis, axis=-1, keepdims=True)
+    k = axis / np.where(n < 1e-12, 1.0, n)
+    th = np.float32(np.radians(angle_deg))
+    # Rodrigues rotation of p about unit axis k by angle th
+    out = (pts * np.cos(th)
+           + np.cross(k, pts) * np.sin(th)
+           + k * np.sum(k * pts, axis=-1, keepdims=True) * (1 - np.cos(th)))
+    return np.where(n < 1e-12, pts, out).astype(pts.dtype)
+
+
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: axis-angle vector ``(..., 3)`` -> rotation matrix.
     Taylor-safe near zero (needed for autodiff through the pose graph)."""

@@ -139,6 +139,11 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
     ``approx_max_k`` KNN (the reference's sklearn 496-NN, ``Voxel.py:
     182-196``) with ~1 ms of sort + gather + scatter on TPU — and is *more*
     faithful: no nearest-k truncation, only a generous per-supercell cap.
+
+    Keypoints are processed in ``cfg.patch_query_chunk`` chunks under
+    ``lax.map`` so the candidate gather temp stays bounded — unchunked it is
+    ``(K, 8, C, 3)`` int32 per frame, which under a 64-frame window vmap is
+    a 6 GB HLO temp per scale (OOMs a 16 GB chip).
     """
     K = kv.shape[0]
     P = cfg.patch_size
@@ -156,41 +161,52 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
     order = jnp.argsort(lin)
     lin_sorted = lin[order]
     vox_sorted = vox[order]
-
-    # the window's up-to-8 covering supercells
-    base = jnp.floor_divide(kv - R, P)                # (K, 3), may be negative
-    dx = jnp.arange(2, dtype=jnp.int32)
-    nb = (base[:, None, None, None, :]
-          + jnp.stack(jnp.meshgrid(dx, dx, dx, indexing="ij"),
-                      axis=-1)[None])                 # (K, 2, 2, 2, 3)
-    nb = nb.reshape(K, 8, 3)
     sg = jnp.array([sgx, sgy, sgz], jnp.int32)
-    ok_nb = jnp.all((nb >= 0) & (nb < sg), axis=-1)   # (K, 8)
-    qlin = nb[..., 0] * (sgy * sgz) + nb[..., 1] * sgz + nb[..., 2]
-    qlin = jnp.where(ok_nb, qlin, -1)
+    dx = jnp.arange(2, dtype=jnp.int32)
 
-    left = jnp.searchsorted(lin_sorted, qlin, side="left")
-    right = jnp.searchsorted(lin_sorted, qlin, side="right")
-    cnt = right - left                                # (K, 8)
+    def chunk(args):
+        kvc, kmc = args                               # (k, 3), (k,)
+        k = kvc.shape[0]
+        # the window's up-to-8 covering supercells
+        base = jnp.floor_divide(kvc - R, P)           # (k, 3), may be negative
+        nb = (base[:, None, None, None, :]
+              + jnp.stack(jnp.meshgrid(dx, dx, dx, indexing="ij"),
+                          axis=-1)[None])             # (k, 2, 2, 2, 3)
+        nb = nb.reshape(k, 8, 3)
+        ok_nb = jnp.all((nb >= 0) & (nb < sg), axis=-1)   # (k, 8)
+        qlin = nb[..., 0] * (sgy * sgz) + nb[..., 1] * sgz + nb[..., 2]
+        qlin = jnp.where(ok_nb, qlin, -1)
 
-    take = left[..., None] + jnp.arange(C, dtype=jnp.int32)   # (K, 8, C)
-    valid = jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt[..., None]
-    cand = vox_sorted[jnp.clip(take, 0, M - 1)]       # (K, 8, C, 3)
+        left = jnp.searchsorted(lin_sorted, qlin, side="left")
+        right = jnp.searchsorted(lin_sorted, qlin, side="right")
+        cnt = right - left                            # (k, 8)
 
-    off = cand - kv[:, None, None, :]
-    in_box = (jnp.all((off >= -R) & (off < R), axis=-1)
-              & valid & key_mask[:, None, None])
-    cell = ((off[..., 0] + R) * P * P + (off[..., 1] + R) * P
-            + (off[..., 2] + R))
-    flat = jnp.where(
-        in_box,
-        jnp.arange(K, dtype=jnp.int32)[:, None, None] * (P * P * P) + cell,
-        K * P * P * P,
-    )
-    occ = jnp.zeros((K * P * P * P + 1,), jnp.float32).at[
-        flat.reshape(-1)
-    ].max(in_box.reshape(-1).astype(jnp.float32), mode="drop")
-    return occ[:-1].reshape(K, P, P, P)
+        take = left[..., None] + jnp.arange(C, dtype=jnp.int32)  # (k, 8, C)
+        valid = jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt[..., None]
+        cand = vox_sorted[jnp.clip(take, 0, M - 1)]   # (k, 8, C, 3)
+
+        off = cand - kvc[:, None, None, :]
+        in_box = (jnp.all((off >= -R) & (off < R), axis=-1)
+                  & valid & kmc[:, None, None])
+        cell = ((off[..., 0] + R) * P * P + (off[..., 1] + R) * P
+                + (off[..., 2] + R))
+        flat = jnp.where(
+            in_box,
+            jnp.arange(k, dtype=jnp.int32)[:, None, None] * (P * P * P) + cell,
+            k * P * P * P,
+        )
+        occ = jnp.zeros((k * P * P * P + 1,), jnp.float32).at[
+            flat.reshape(-1)
+        ].max(in_box.reshape(-1).astype(jnp.float32), mode="drop")
+        return occ[:-1].reshape(k, P, P, P)
+
+    kc = cfg.patch_query_chunk
+    if kc and kc < K and K % kc == 0:
+        occ = jax.lax.map(
+            chunk, (kv.reshape(-1, kc, 3), key_mask.reshape(-1, kc))
+        )
+        return occ.reshape(K, P, P, P)
+    return chunk((kv, key_mask))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -1,0 +1,102 @@
+"""Hard synthetic KITTI benchmark: the full 4-stage pipeline on a
+Velodyne-realistic ray-cast loop sequence, gated on the reference's
+registration metrics.
+
+Scene/trajectory: ``caelo_tpu.data.hard_synthetic`` — 64-beam raycast with
+occlusion, moving cars, 20 deg/s yaw turns, closed ~520-frame circuit.
+
+Gates (BASELINE.md row 1 semantics, ``EvaluationOnRegistration.py:23-24``):
+  * per-pair success (RRE < 1 deg, RTE < 0.5 m) >= 99%
+  * loop-closure precision >= 0.9 at recall >= 0.5 (``loop_closure_pr``)
+
+Usage:  python examples/hard_benchmark.py [--frames 520] [--no-loop]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=520)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    from caelo_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from caelo_tpu.config import PipelineConfig
+    from caelo_tpu.data.hard_synthetic import generate_benchmark
+    from caelo_tpu.eval.metrics import (absolute_trajectory_error,
+                                        loop_closure_pr,
+                                        registration_summary,
+                                        relative_pose_errors)
+    from caelo_tpu.models import weights_io
+    from caelo_tpu.pipeline import run_full_pipeline
+    from caelo_tpu.utils.telemetry import StageTimer
+
+    cfg = PipelineConfig()
+    respond = weights_io.load_respond_layer_params()
+    encoder = weights_io.load_patch_encoder_params()
+
+    t0 = time.time()
+    scans, poses_gt = generate_benchmark(n_frames=args.frames, seed=args.seed,
+                                         cfg=cfg)
+    print(f"generated {args.frames} ray-cast frames in {time.time()-t0:.0f} s",
+          file=sys.stderr)
+
+    timer = StageTimer(sync=False)
+    t0 = time.time()
+    result = run_full_pipeline(
+        scans, respond, encoder, cfg=cfg,
+        enable_loop_closure=not args.no_loop, timer=timer, seed=args.seed,
+    )
+    wall = time.time() - t0
+    print(f"pipeline: {wall:.1f} s ({args.frames / wall:.1f} frames/s e2e)",
+          file=sys.stderr)
+
+    R_tr, t_tr = np.eye(3), np.zeros(3)
+    errs = relative_pose_errors(poses_gt, result.poses_raw, R_tr, t_tr)
+    summary = registration_summary(errs)
+    ate_raw = absolute_trajectory_error(poses_gt, result.poses_raw)
+    ate_final = absolute_trajectory_error(poses_gt, result.poses_final)
+    out = {
+        "frames": args.frames,
+        "rre_deg": summary["rre_deg"],
+        "rte_m": summary["rte_m"],
+        "success_rate": summary["success_rate"],
+        "pair_success_frontend": float(result.odometry.successes.mean()),
+        "ate_raw_m": ate_raw["ate_rmse"],
+        "ate_final_m": ate_final["ate_rmse"],
+        "n_loop_closures": int(result.n_loop_closures),
+        "dejumped": len(result.dejumped_frames),
+        "stage_seconds": timer.summary(),
+    }
+    if not args.no_loop and result.n_loop_closures > 0:
+        pr = loop_closure_pr(result.loop_edge_i, result.loop_edge_j,
+                             poses_gt.reshape(-1, 3, 4)[:, :, 3])
+        out["loop_precision"] = pr["precision"]
+        out["loop_recall"] = pr["recall"]
+    print(json.dumps(out, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f)
+
+    gates_ok = (summary["rre_deg"] < 1.0 and summary["rte_m"] < 0.5
+                and summary["success_rate"] >= 0.99)
+    print(f"GATES {'PASS' if gates_ok else 'FAIL'}: "
+          f"RRE {summary['rre_deg']:.4f} deg (<1), "
+          f"RTE {summary['rte_m']:.4f} m (<0.5), "
+          f"success {summary['success_rate']*100:.2f}% (>=99)",
+          file=sys.stderr)
+    return 0 if gates_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

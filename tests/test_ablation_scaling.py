@@ -83,3 +83,46 @@ def test_correct_beam_angle(rng):
     # z-axis points are left untouched (degenerate axis)
     z = jnp.asarray([[0.0, 0.0, 5.0]])
     np.testing.assert_allclose(np.asarray(correct_beam_angle(z)), z, atol=1e-7)
+
+
+def test_beam_correction_np_matches_jax_and_roundtrips(rng):
+    from caelo_tpu.geometry.se3 import correct_beam_angle_np
+
+    pts = rng.uniform(-20, 20, (200, 3)).astype(np.float32)
+    out_np = correct_beam_angle_np(pts, 0.22)
+    out_jx = np.asarray(correct_beam_angle(jnp.asarray(pts), 0.22))
+    np.testing.assert_allclose(out_np, out_jx, atol=2e-4)
+    # inverse error then correction restores the original points
+    back = correct_beam_angle_np(correct_beam_angle_np(pts, -0.22), 0.22)
+    np.testing.assert_allclose(back, pts, atol=5e-4)
+
+
+def test_beam_correction_wired_into_loader(tmp_path, rng):
+    """cfg.sensor.beam_correction_deg actually transforms loaded scans
+    (VERDICT missing #4 — reference applies it at GenerateTrajactory.m:
+    186-190); padding rows stay untouched."""
+    import dataclasses
+
+    from caelo_tpu.config import SensorConfig, tiny_test_config
+    from caelo_tpu.data.kitti import KittiOdometry
+    from caelo_tpu.geometry.se3 import correct_beam_angle_np
+
+    raw = rng.uniform(-20, 20, (64, 4)).astype(np.float32)
+    seq = tmp_path / "sequences" / "00" / "velodyne"
+    seq.mkdir(parents=True)
+    raw.tofile(seq / "000000.bin")
+
+    cfg0 = tiny_test_config()
+    cfg1 = dataclasses.replace(
+        cfg0, sensor=dataclasses.replace(
+            cfg0.sensor, beam_correction_deg=0.22))
+    p0, m0 = KittiOdometry(str(tmp_path), cfg0).load_scan("00", 0)
+    p1, m1 = KittiOdometry(str(tmp_path), cfg1).load_scan("00", 0)
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_allclose(
+        p1[m1][:, :3], correct_beam_angle_np(p0[m0][:, :3], 0.22), atol=1e-5)
+    np.testing.assert_allclose(p1[m1][:, 3], p0[m0][:, 3])  # refl untouched
+    np.testing.assert_array_equal(p1[~m1], p0[~m0])         # padding
+    # prefetcher path applies the same fix
+    (pit,) = list(KittiOdometry(str(tmp_path), cfg1).iter_scans("00"))
+    np.testing.assert_allclose(pit[0], p1, atol=1e-6)

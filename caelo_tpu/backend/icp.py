@@ -61,6 +61,16 @@ def nearest_neighbors(query: jnp.ndarray, query_mask: jnp.ndarray,
     return idx, dist
 
 
+def _nn(query, query_mask, ref, ref_mask, cfg: IcpConfig):
+    """Correspondence search, dispatched on ``cfg.use_pallas_nn`` (static
+    under jit, so only the chosen path is traced)."""
+    if cfg.use_pallas_nn:
+        from ..ops.pallas_nn import nearest_neighbor_pallas
+
+        return nearest_neighbor_pallas(query, query_mask, ref, ref_mask)
+    return nearest_neighbors(query, query_mask, ref, ref_mask)
+
+
 class IcpResult(NamedTuple):
     R: jnp.ndarray
     t: jnp.ndarray
@@ -77,7 +87,7 @@ def icp_point_to_point(pc0: jnp.ndarray, mask0: jnp.ndarray,
 
     def body(i, st):
         R, t, pc1c, thr, done, n_in, iters = st
-        idx, dist = nearest_neighbors(pc1c, mask1, pc0, mask0)
+        idx, dist = _nn(pc1c, mask1, pc0, mask0, cfg)
         w = ((dist < thr) & mask1).astype(jnp.float32)
         n = jnp.sum(w).astype(jnp.int32)
         enough = n >= cfg.min_inliers
@@ -131,11 +141,11 @@ def icp_hybrid(pc0: jnp.ndarray, mask0: jnp.ndarray,
     def body(i, st):
         R, t, pc1c, pl1c, thr0, thr1, done, n_in, iters = st
         # point-to-point correspondences
-        idx, dist = nearest_neighbors(pc1c, mask1, pc0, mask0)
+        idx, dist = _nn(pc1c, mask1, pc0, mask0, cfg)
         w_pt = ((dist < thr0) & mask1).astype(jnp.float32)
         tgt_pt = pc0[idx]
         # point-to-plane: match planar1 -> planar0 xyz, project to pedal
-        pidx, pdist = nearest_neighbors(pl1c, pmask1, p0_xyz, pmask0)
+        pidx, pdist = _nn(pl1c, pmask1, p0_xyz, pmask0, cfg)
         nrm = n0[pidx]
         anchor = p0_xyz[pidx]
         d2pl = jnp.sum(nrm * (anchor - pl1c), axis=-1)

@@ -215,6 +215,10 @@ class IcpConfig:
     min_inliers: int = 100
     max_points: int = 8192           # fixed-size subsample per cloud
     max_planar: int = 2048           # reference nMaxPts=2000, rounded up
+    # correspondence search backend: False = chunked XLA distance matmul,
+    # True = the Pallas streaming argmin kernel (ops/pallas_nn.py).  See
+    # ROADMAP "Pallas settlement" for the measured comparison.
+    use_pallas_nn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

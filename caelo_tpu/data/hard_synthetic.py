@@ -110,12 +110,42 @@ def make_city(seed: int = 0, side: float = 96.0, n_cars: int = 6) -> dict:
                      rng.uniform(1.4, 1.8)),
             "lane": rng.uniform(-2.5, 2.5),
         })
+    # terrain: gentle low-frequency undulation.  A *perfectly* flat ground
+    # is a degenerate synthetic world: every ground patch is an identical
+    # slab, descriptors collapse, and matching votes for the identity
+    # transform (the sensor-relative ring pattern matches itself).  Real
+    # ground has world-anchored relief; ~15 cm over 15-40 m wavelengths
+    # restores that.
+    n_waves = 6
+    terrain = {
+        "amp": rng.uniform(0.04, 0.10, n_waves),
+        "kx": rng.uniform(2 * np.pi / 40.0, 2 * np.pi / 15.0, n_waves)
+              * rng.choice([-1, 1], n_waves),
+        "ky": rng.uniform(2 * np.pi / 40.0, 2 * np.pi / 15.0, n_waves)
+              * rng.choice([-1, 1], n_waves),
+        "phx": rng.uniform(0, 2 * np.pi, n_waves),
+        "phy": rng.uniform(0, 2 * np.pi, n_waves),
+    }
     return {
         "boxes": np.asarray(boxes, np.float64),
         "poles": np.asarray(poles, np.float64),
         "cars": cars,
         "side": side,
+        "terrain": terrain,
     }
+
+
+def terrain_height(scene: dict, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """World-frame ground height h(x, y) (vectorized)."""
+    t = scene.get("terrain")
+    if t is None:
+        return np.zeros_like(x)
+    h = np.zeros_like(x, dtype=np.float32)
+    for a, kx, ky, px, py in zip(t["amp"], t["kx"], t["ky"],
+                                 t["phx"], t["phy"]):
+        h += np.float32(a) * np.sin(np.float32(kx) * x + np.float32(px)) \
+             * np.sin(np.float32(ky) * y + np.float32(py))
+    return h
 
 
 def _car_pose(car: dict, frame: int, side: float):
@@ -226,8 +256,15 @@ def raycast_scan(scene: dict, pose: np.ndarray, frame: int,
     for s in range(0, d.shape[0], CH):
         oc, dc = o[s:s + CH], d[s:s + CH]
         dz = dc[:, 2]
-        tg = np.where(dz < -1e-9, -tw[2] / np.where(dz < -1e-9, dz, -1.0),
-                      np.inf)                          # ground plane z = 0
+        safe_dz = np.where(dz < -1e-9, dz, -1.0)
+        tg = np.where(dz < -1e-9, -tw[2] / safe_dz, np.inf)  # flat-plane seed
+        # refine against the terrain height field: fixed-point
+        # t <- (h(x,y) - oz) / dz (converges fast for |grad h| << 1)
+        for _ in range(3):
+            gx = oc[:, 0] + np.where(np.isfinite(tg), tg, 0.0) * dc[:, 0]
+            gy = oc[:, 1] + np.where(np.isfinite(tg), tg, 0.0) * dc[:, 1]
+            h = terrain_height(scene, gx, gy)
+            tg = np.where(dz < -1e-9, (h - tw[2]) / safe_dz, np.inf)
         tb = np.where(tg > 0, tg, np.inf)
         tb = np.minimum(tb, _ray_aabbs(oc, dc, lo, hi))
         tb = np.minimum(tb, _ray_cylinders(oc, dc, cyl))
@@ -255,6 +292,8 @@ def generate_benchmark(n_frames: int = 520, seed: int = 0,
     scene = make_city(seed=seed, side=side, n_cars=n_cars)
     poses = circuit_trajectory(n_frames=n_frames, side=side,
                                yaw_rate_deg=yaw_rate_deg)
+    # vehicle follows the terrain: sensor height rides h(x, y)
+    poses[:, 2, 3] += terrain_height(scene, poses[:, 0, 3], poses[:, 1, 3])
     scans = []
     for i in range(n_frames):
         pts = raycast_scan(scene, poses[i], i, cfg.sensor,

@@ -97,16 +97,39 @@ def train_both(cfg: PipelineConfig, steps2d: int, steps3d: int, out: str):
     return respond_trained, encoder_trained, losses2, losses3
 
 
+def _hard_pairs(n_pairs: int, cfg: PipelineConfig, seed: int = 7):
+    """Consecutive ray-cast pairs from the hard benchmark (occlusion,
+    moving cars, turn frames) — the item-3 quality bar, reused here."""
+    from caelo_tpu.data.hard_synthetic import generate_benchmark
+
+    scans, gt = generate_benchmark(n_frames=n_pairs + 1, seed=seed, cfg=cfg)
+    gt = gt.reshape(-1, 3, 4)
+    out = []
+    for i in range(n_pairs):
+        R0, t0 = gt[i, :, :3], gt[i, :, 3]
+        R1, t1 = gt[i + 1, :, :3], gt[i + 1, :, 3]
+        # frame-1 -> frame-0: x0 = R0^T (R1 x1 + t1 - t0)
+        Rg = R0.T @ R1
+        tg = R0.T @ (t1 - t0)
+        (s0, m0), (s1, m1) = scans[i], scans[i + 1]
+        out.append((s0, m0, s1, m1, Rg, tg))
+    return out
+
+
 def evaluate(tag: str, respond_params, encoder_params, cfg: PipelineConfig,
-             n_pairs: int, seed0: int = 900):
+             n_pairs: int, seed0: int = 900, hard: bool = False):
     """Held-out pair registration quality (scenes unseen in training)."""
     stats = {"success": [], "rot_err_deg": [], "t_err_m": [],
              "inlier_ratio": []}
+    hard_set = _hard_pairs(n_pairs, cfg) if hard else None
     for i in range(n_pairs):
-        s0, m0, s1, m1, R_gt, t_gt = synthetic_scan_pair(
-            seed=seed0 + i, cfg=cfg,
-            angle_deg=float(np.random.default_rng(i).uniform(0.5, 3.0)),
-        )
+        if hard:
+            s0, m0, s1, m1, R_gt, t_gt = hard_set[i]
+        else:
+            s0, m0, s1, m1, R_gt, t_gt = synthetic_scan_pair(
+                seed=seed0 + i, cfg=cfg,
+                angle_deg=float(np.random.default_rng(i).uniform(0.5, 3.0)),
+            )
         f0 = extract_frame_features(respond_params, encoder_params,
                                     jnp.asarray(s0), jnp.asarray(m0), cfg)
         f1 = extract_frame_features(respond_params, encoder_params,
@@ -124,7 +147,7 @@ def evaluate(tag: str, respond_params, encoder_params, cfg: PipelineConfig,
             float(np.asarray(reg.n_inliers)) / max(n_valid, 1))
     ok = np.array(stats["success"])
     summary = {
-        "tag": tag,
+        "tag": tag + ("/hard" if hard else "/easy"),
         "n_pairs": n_pairs,
         "success_rate": float(ok.mean()),
         "rot_err_deg_mean": float(np.mean(stats["rot_err_deg"])),
@@ -140,6 +163,8 @@ def main():
     ap.add_argument("--steps2d", type=int, default=300)
     ap.add_argument("--steps3d", type=int, default=400)
     ap.add_argument("--pairs", type=int, default=8)
+    ap.add_argument("--hard-pairs", type=int, default=8,
+                    help="also score on hard ray-cast pairs (0 = skip)")
     ap.add_argument("--out", default="runs/scratch")
     args = ap.parse_args()
 
@@ -155,11 +180,17 @@ def main():
         cfg, encoder_activation="relu", encoder_code_activation="linear")
     results = [evaluate("trained-from-scratch", respond_t, encoder_t,
                         cfg_trained, args.pairs)]
+    if args.hard_pairs:
+        results.append(evaluate("trained-from-scratch", respond_t, encoder_t,
+                                cfg_trained, args.hard_pairs, hard=True))
     if weights_io.reference_models_available():
         respond_s = weights_io.load_respond_layer_params()
         encoder_s = weights_io.load_patch_encoder_params()
         results.append(evaluate("shipped-reference", respond_s, encoder_s,
                                 cfg, args.pairs))
+        if args.hard_pairs:
+            results.append(evaluate("shipped-reference", respond_s, encoder_s,
+                                    cfg, args.hard_pairs, hard=True))
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "study.json"), "w") as f:
         json.dump({"results": results,

@@ -1,0 +1,92 @@
+"""Hard synthetic KITTI benchmark — CI-scaled regression gate.
+
+VERDICT round-1 item 3: Velodyne-realistic ray-cast scans (occlusion,
+terrain relief, moving cars, range noise/dropout) on a circuit trajectory
+with 20 deg/s yaw turns, scored with the reference's registration metrics
+(``EvaluationOnRegistration.py:108-130``; success = RRE < 1 deg and
+RTE < 0.5 m at ``:23-24``).
+
+This file runs a scaled sensor (0.8 deg azimuth, ~25k pts/frame) so it fits
+the CPU suite; the full-size 520-frame version (with loop closure PR gates)
+is ``examples/hard_benchmark.py`` — its numbers are recorded in ROADMAP.md.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+
+from caelo_tpu.config import small_test_config
+from caelo_tpu.data.hard_synthetic import (circuit_trajectory, generate_benchmark,
+                                           make_city, raycast_scan,
+                                           terrain_height)
+from caelo_tpu.eval.metrics import registration_summary, relative_pose_errors
+from caelo_tpu.models import weights_io
+
+
+def hard_ci_config():
+    """Scaled sensor/caps for the CPU suite.  The voxel caps are sized so
+    the scale-0/1 occupied-voxel lists do NOT saturate (~25.3k / ~16k
+    occupied): a saturated list silently truncates patches and degrades
+    registration (measured: RTE 0.25 m -> 0.06 m on pair 0)."""
+    cfg0 = small_test_config()
+    return dataclasses.replace(
+        cfg0,
+        sensor=dataclasses.replace(cfg0.sensor, azimuth_res_deg=0.8),
+        max_points=32768,
+        voxel=dataclasses.replace(cfg0.voxel, max_voxels=(49152, 24576, 6144)),
+    )
+
+
+def test_trajectory_and_raycast_shape():
+    poses = circuit_trajectory(520)
+    # the circuit closes: last pose back at the start (within one step)
+    assert np.linalg.norm(poses[-1, :2, 3] - poses[0, :2, 3]) < 2.0
+    # yaw turns present: relative yaw per frame reaches 2 deg
+    yaws = np.arctan2(poses[:, 1, 0], poses[:, 0, 0])
+    dyaw = np.degrees(np.abs(np.diff(np.unwrap(yaws))))
+    assert dyaw.max() > 1.9
+    scene = make_city(0)
+    pts = raycast_scan(scene, poses[0], 0, az_step_deg=0.8)
+    assert pts.shape[1] == 4
+    assert 5000 < pts.shape[0] < 64 * 450
+    r = np.linalg.norm(pts[:, :3], axis=1)
+    assert r.min() > 2.0 and r.max() <= 80.5
+    # terrain relief exists and is gentle
+    h = terrain_height(scene, np.linspace(-40, 40, 100),
+                       np.linspace(-40, 40, 100))
+    assert 0.02 < np.abs(h).max() < 1.0
+
+
+def test_dynamic_cars_move():
+    scene = make_city(0, n_cars=4)
+    from caelo_tpu.data.hard_synthetic import _car_pose
+
+    p0, _ = _car_pose(scene["cars"][0], 0, scene["side"])
+    p9, _ = _car_pose(scene["cars"][0], 9, scene["side"])
+    assert np.linalg.norm(p9 - p0) > 1.0
+
+
+@pytest.mark.slow
+def test_hard_benchmark_registration_gates():
+    """Turn-heavy 12-frame segment through the windowed odometry front end
+    must satisfy the reference gates on every pair (BASELINE.md row 1
+    thresholds; full-size run holds much tighter, see ROADMAP)."""
+    if not weights_io.reference_models_available():
+        pytest.skip("shipped reference weights unavailable")
+    cfg = hard_ci_config()
+    scans, gt = generate_benchmark(n_frames=12, seed=0, cfg=cfg,
+                                   az_step_deg=0.8)
+    respond = weights_io.load_respond_layer_params()
+    encoder = weights_io.load_patch_encoder_params()
+    from caelo_tpu.frontend.odometry import run_odometry_windowed
+
+    odo, _ = run_odometry_windowed(
+        scans, respond, encoder, np.eye(3), np.zeros(3), cfg, window=6,
+        seed=0, keep_features=True)
+    errs = relative_pose_errors(gt, odo.poses, np.eye(3), np.zeros(3))
+    s = registration_summary(errs)
+    assert s["success_rate"] == 1.0, s
+    assert s["rre_deg"] < 1.0, s
+    assert s["rte_m"] < 0.5, s
+    assert np.asarray(odo.successes).all()

@@ -128,9 +128,10 @@ class VoxelConfig:
     # approx_max_k (the direct analog of the reference's 496-NN)
     patch_method: str = "window"
     # per-scale per-supercell candidate caps for the window method; voxels
-    # beyond the cap in one 16^3-aligned supercell are dropped (generous:
-    # a LiDAR surface rarely exceeds ~2 cells/column of a supercell face)
-    supercell_caps: Tuple[int, int, int] = (256, 512, 1024)
+    # beyond the cap in one 16^3-aligned supercell are dropped.  Sized from
+    # measured occupancy on KITTI-like scans (per-supercell max 64/195/439);
+    # patch cost is linear in these, so do not oversize.
+    supercell_caps: Tuple[int, int, int] = (96, 256, 512)
     # keypoints per lax.map chunk in the window query: bounds the candidate
     # gather temp ((chunk, 8, cap, 3) int32) so a 64-frame window vmap
     # doesn't materialize multi-GB buffers.  0 = one unchunked call.

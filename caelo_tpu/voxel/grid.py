@@ -142,8 +142,19 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
 
     Keypoints are processed in ``cfg.patch_query_chunk`` chunks under
     ``lax.map`` so the candidate gather temp stays bounded — unchunked it is
-    ``(K, 8, C, 3)`` int32 per frame, which under a 64-frame window vmap is
-    a 6 GB HLO temp per scale (OOMs a 16 GB chip).
+    ``(K, 8, C)`` int32 per frame, which under a 64-frame window vmap is a
+    multi-GB HLO temp per scale (OOMs a 16 GB chip).
+
+    Honest-timing-driven layout choices (measured on v5e, 16-frame batch):
+    * candidates are gathered as ONE packed int32 per voxel (4-bit local
+      coords within the 16-aligned supercell) instead of a ``(M, 3)`` row
+      gather — a 3-wide trailing dim wastes 125/128 lanes per gather;
+    * every non-dropped scatter index is unique by construction (distinct
+      voxels -> distinct cells; dropped candidates get *distinct*
+      out-of-range ids), so the scatter runs with ``unique_indices=True``
+      (measured ~1.2x);
+    * ``cfg.supercell_caps`` sized from measured per-supercell occupancy
+      (max 64/195/439 on KITTI-like scans) — cost is linear in the cap.
     """
     K = kv.shape[0]
     P = cfg.patch_size
@@ -154,13 +165,19 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
     sgy = -(-g[1] // P)
     sgz = -(-g[2] // P)
     sgx = -(-g[0] // P)
+    pbits = P.bit_length() - 1                        # log2(P); P power of 2
 
-    sc = vox // P                                     # (M, 3) supercell coords
+    sc = vox >> pbits                                 # (M, 3) supercell coords
     lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
     lin = jnp.where(vox_mask, lin, jnp.iinfo(jnp.int32).max)
+    # packed 4-bit local coords: one lane-friendly int32 gather per candidate
+    pmask = P - 1
+    local = (((vox[:, 0] & pmask) << (2 * pbits))
+             | ((vox[:, 1] & pmask) << pbits)
+             | (vox[:, 2] & pmask))                   # (M,) int32
     order = jnp.argsort(lin)
     lin_sorted = lin[order]
-    vox_sorted = vox[order]
+    local_sorted = local[order]
     sg = jnp.array([sgx, sgy, sgz], jnp.int32)
     dx = jnp.arange(2, dtype=jnp.int32)
 
@@ -168,7 +185,7 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
         kvc, kmc = args                               # (k, 3), (k,)
         k = kvc.shape[0]
         # the window's up-to-8 covering supercells
-        base = jnp.floor_divide(kvc - R, P)           # (k, 3), may be negative
+        base = (kvc - R) >> pbits                     # (k, 3), may be negative
         nb = (base[:, None, None, None, :]
               + jnp.stack(jnp.meshgrid(dx, dx, dx, indexing="ij"),
                           axis=-1)[None])             # (k, 2, 2, 2, 3)
@@ -183,22 +200,31 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
 
         take = left[..., None] + jnp.arange(C, dtype=jnp.int32)  # (k, 8, C)
         valid = jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt[..., None]
-        cand = vox_sorted[jnp.clip(take, 0, M - 1)]   # (k, 8, C, 3)
+        loc = local_sorted[jnp.clip(take, 0, M - 1)]  # (k, 8, C) int32
 
-        off = cand - kvc[:, None, None, :]
-        in_box = (jnp.all((off >= -R) & (off < R), axis=-1)
+        # absolute voxel = supercell * P + local;  offsets per axis
+        anchor = (nb << pbits) - kvc[:, None, :]      # (k, 8, 3)
+        off_x = anchor[..., 0:1] + ((loc >> (2 * pbits)) & pmask)
+        off_y = anchor[..., 1:2] + ((loc >> pbits) & pmask)
+        off_z = anchor[..., 2:3] + (loc & pmask)
+        in_box = ((off_x >= -R) & (off_x < R)
+                  & (off_y >= -R) & (off_y < R)
+                  & (off_z >= -R) & (off_z < R)
                   & valid & kmc[:, None, None])
-        cell = ((off[..., 0] + R) * P * P + (off[..., 1] + R) * P
-                + (off[..., 2] + R))
+        cell = ((off_x + R) * (P * P) + (off_y + R) * P + (off_z + R))
+        # unique indices: in-box candidates map to distinct cells (voxels
+        # are deduped); dropped ones get distinct out-of-range ids
+        drop_ids = (k * P * P * P
+                    + jnp.arange(k * 8 * C, dtype=jnp.int32).reshape(k, 8, C))
         flat = jnp.where(
             in_box,
             jnp.arange(k, dtype=jnp.int32)[:, None, None] * (P * P * P) + cell,
-            k * P * P * P,
+            drop_ids,
         )
-        occ = jnp.zeros((k * P * P * P + 1,), jnp.float32).at[
+        occ = jnp.zeros((k * P * P * P,), jnp.float32).at[
             flat.reshape(-1)
-        ].max(in_box.reshape(-1).astype(jnp.float32), mode="drop")
-        return occ[:-1].reshape(k, P, P, P)
+        ].set(1.0, mode="drop", unique_indices=True)
+        return occ.reshape(k, P, P, P)
 
     kc = cfg.patch_query_chunk
     if kc and kc < K and K % kc == 0:

@@ -11,15 +11,15 @@ descriptors) plus per-pair registration (matching + 2048-hypothesis RANSAC
 N_FRAMES-frame window program.
 
 Timing methodology (the r1 lesson — VERDICT Weak #1): through the remote-TPU
-tunnel, ``block_until_ready`` is NOT a reliable execution barrier and
-repeated identical dispatches can be served without re-execution, which
-inflated r1's claimed 46-55k frames/s ~6x over the honest number.  Here
-every rep's input depends on the previous rep's *result* (a device-side
-perturbation), so reps can neither be elided, reordered, nor memoized, and
-each timed group ends with a host fetch — the only trustworthy sync.
-Sanity anchor: a chained 4096^3 bf16 matmul measured this way gives
-151.8 TFLOP/s on v5e (77% of the 197 TFLOP/s peak), i.e. the method reports
-physically sane numbers.
+tunnel, ``jax.block_until_ready`` is NOT a reliable execution barrier — it
+can return before the device has executed, which inflated r1's claimed
+8.9k-55.7k frames/s numbers by orders of magnitude (the honest pre-
+optimization number was 2.6 frames/s).  The only trustworthy sync is a host
+data fetch of a value computed from the output, so every timed rep ends
+with ``float(jnp.sum(...))`` over the rep's own results, with a per-rep
+varied RNG key.  Sanity anchors measured with this method on v5e: a chained
+4096^3 bf16 matmul gives 151.8 TFLOP/s (77% of the 197 TFLOP/s peak), and
+key-fixed vs key-varied reps time identically (no server memoization).
 
 MFU: XLA's own post-optimization FLOP count of the compiled window program
 (``compiled.cost_analysis()['flops']``) divided by measured time and the
@@ -38,9 +38,8 @@ import time
 
 BASELINE_FPS = 0.2
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
-COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
-CHAIN = 10    # dependency-chained windows per timed group (one fetch each)
-OUTER = 8     # timed groups -> p50/p95 over per-window times
+COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+REPS = int(os.environ.get("BENCH_REPS", "12"))
 
 _PEAK_FLOPS = {
     # chip bf16 peak (the MXU path XLA uses for f32 convs/matmuls by
@@ -101,9 +100,6 @@ def main():
     pts_b = jnp.stack([s for s, _ in scans])
     mask_b = jnp.stack([m for _, m in scans])
     process = make_sequence_processor(cfg)
-    # device-side input perturbation carrying the previous rep's result:
-    # the dependency chain that makes the timing honest (module docstring)
-    perturb = jax.jit(lambda pts, acc: pts + acc * 1e-12)
 
     t0 = time.time()
     compiled = process.lower(
@@ -115,21 +111,18 @@ def main():
     except Exception:
         flops_per_window = 0.0
 
-    # warm-up: one window + one perturb, fetch-synced
+    # warm-up, fetch-synced (module docstring: a host fetch of a value
+    # derived from the output is the only trustworthy execution barrier)
     _, regs = process(respond, encoder, pts_b, mask_b, jax.random.key(0))
-    acc = jnp.sum(regs.t)
-    float(jnp.sum(perturb(pts_b, acc)))
+    n_success = float(jnp.sum(regs.success))
 
     times = []
-    for o in range(OUTER):
+    for r in range(REPS):
         t0 = time.time()
-        for r in range(CHAIN):
-            pts_r = perturb(pts_b, acc)
-            _, regs = process(respond, encoder, pts_r, mask_b,
-                              jax.random.key(o * CHAIN + r + 1))
-            acc = jnp.sum(regs.t)
-        float(acc)  # single fetch: the whole chain must have executed
-        times.append((time.time() - t0) / CHAIN)
+        _, regs = process(respond, encoder, pts_b, mask_b,
+                          jax.random.key(r + 1))
+        float(jnp.sum(regs.t) + jnp.sum(regs.n_inliers))  # fetch barrier
+        times.append(time.time() - t0)
 
     ts = sorted(times)
     p50 = ts[len(ts) // 2]
@@ -144,6 +137,7 @@ def main():
     log.log("bench", device=str(dev.device_kind), frames=N_FRAMES,
             dtype=COMPUTE_DTYPE, compile_s=round(compile_s, 1),
             window_ms=[round(t * 1e3, 3) for t in times],
+            pair_success=n_success,
             flops_per_window=flops_per_window)
 
     print(json.dumps({
@@ -155,8 +149,7 @@ def main():
         "p50_ms": round(p50 * 1e3, 3),
         "p95_ms": round(p95 * 1e3, 3),
         "n_frames_window": N_FRAMES,
-        "chain": CHAIN,
-        "reps": OUTER,
+        "reps": REPS,
         "dtype": COMPUTE_DTYPE,
         "flops_per_window": flops_per_window,
         "device": str(dev.device_kind),

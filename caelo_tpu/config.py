@@ -133,9 +133,15 @@ class VoxelConfig:
     # patch cost is linear in these, so do not oversize.
     supercell_caps: Tuple[int, int, int] = (96, 256, 512)
     # keypoints per lax.map chunk in the window query: bounds the candidate
-    # gather temp ((chunk, 8, cap, 3) int32) so a 64-frame window vmap
+    # gather temp ((chunk, 8, cap) int32) so a 64-frame window vmap
     # doesn't materialize multi-GB buffers.  0 = one unchunked call.
     patch_query_chunk: int = 128
+    # per-scale supercell-slot capacity for the dense bit-grid patch path
+    # (0 = use the windowed-gather path for that scale).  Coarse scales have
+    # few occupied supercells (measured ~2.4k / ~80 at scales 1/2), so a
+    # dense bit-packed table beats per-candidate gathers ~10x; scale 0 has
+    # ~70k supercells (a 100 MB/frame table) and stays on windowed gather.
+    bitgrid_slots: Tuple[int, int, int] = (0, 6144, 512)
 
     @property
     def voxel_sizes(self) -> Tuple[float, float, float]:

@@ -235,6 +235,105 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
     return chunk((kv, key_mask))
 
 
+def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
+                               cfg: VoxelConfig, scale: int, slots: int):
+    """16^3 occupancy patches via dense bit-packed per-supercell tables.
+
+    For coarse scales the number of occupied 16-aligned supercells is tiny
+    (measured ~2.4k at scale 1, ~80 at scale 2 on KITTI-like scans), so a
+    dense occupancy table is cheap: one int32 word per (supercell, x, y)
+    column holding the 16 z-bits.  Build = M scatter-adds of ``1 << lz``
+    (bits are unique per deduped voxel, so add == or).  Query = per patch
+    column, gather the 2 straddled words and shift-combine — 512 word
+    gathers per keypoint instead of ~4k per-candidate gathers (the
+    windowed-gather path, ``_patches_one_scale_window``).  Measured on v5e:
+    scale 1+2 drop from ~100 ms to ~10 ms/frame.
+
+    ``slots`` is the static supercell-slot capacity; supercells beyond it
+    are dropped (sized ~2x measured occupancy).
+    """
+    K = kv.shape[0]
+    P = cfg.patch_size
+    R = cfg.patch_radius
+    M = vox.shape[0]
+    g = cfg.grid_shape(scale)
+    sgy = -(-g[1] // P)
+    sgz = -(-g[2] // P)
+    sgx = -(-g[0] // P)
+    pbits = P.bit_length() - 1
+    pmask = P - 1
+    assert P <= 32, "z-bits must fit one int32 word"
+
+    sc = vox >> pbits
+    lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
+    big = jnp.iinfo(jnp.int32).max
+    lin = jnp.where(vox_mask, lin, big)
+    lin_sorted = jnp.sort(lin)
+    # dense supercell-id -> slot map (NO searchsorted anywhere: measured
+    # ~600 ns/query on v5e, it dominated the first bitgrid attempt).  The
+    # dense map is small at coarse scales: sgx*sgy*sgz ints (~75k at s1).
+    n_ids = sgx * sgy * sgz
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), lin_sorted[1:] != lin_sorted[:-1]])
+    is_first &= lin_sorted != big
+    slot_of_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1   # (M,)
+    drop = n_ids + jnp.arange(M, dtype=jnp.int32)     # distinct OOB ids
+    slotmap = jnp.full((n_ids,), -1, jnp.int32).at[
+        jnp.where(is_first & (slot_of_sorted < slots), lin_sorted, drop)
+    ].set(jnp.where(is_first, slot_of_sorted, 0), mode="drop",
+          unique_indices=True)
+
+    # build the bit table: word = slot*P*P + lx*P + ly, bit = lz
+    vslot = slotmap[jnp.clip(lin, 0, n_ids - 1)]      # (M,) slot per voxel
+    vslot = jnp.where(vox_mask & (vslot >= 0), vslot, slots)
+    word_idx = (vslot * (P * P) + (vox[:, 0] & pmask) * P
+                + (vox[:, 1] & pmask))
+    bits = jnp.where(vox_mask, jnp.int32(1) << (vox[:, 2] & pmask), 0)
+    table = jnp.zeros((slots * P * P,), jnp.int32).at[
+        jnp.where(word_idx < slots * P * P, word_idx, slots * P * P)
+    ].add(bits, mode="drop")                          # bit-or via add
+
+    # ---- query: per keypoint, 16x16 columns x 2 straddled z-words
+    ox = kv - R                                       # (K, 3) window origin
+    rng_ = jnp.arange(P, dtype=jnp.int32)
+    ax = ox[:, 0, None] + rng_[None]                  # (K, P) abs x per px
+    ay = ox[:, 1, None] + rng_[None]
+    sx = ax >> pbits
+    sy = ay >> pbits
+    lx = ax & pmask
+    ly = ay & pmask
+    okx = (ax >= 0) & (ax < g[0])
+    oky = (ay >= 0) & (ay < g[1])
+    # z: window [oz, oz+P) straddles supercells sz0, sz0+1 at offset lz0
+    oz = ox[:, 2]
+    sz0 = oz >> pbits
+    lz0 = oz & pmask
+    # per-column supercell ids, vectorized over the P x P columns
+    sxx = sx[:, :, None]                              # (K, P, 1)
+    syy = sy[:, None, :]                              # (K, 1, P)
+    okc = okx[:, :, None] & oky[:, None, :] & key_mask[:, None, None]
+    base_id = sxx * (sgy * sgz) + syy * sgz           # (K, P, P)
+    idA = base_id + sz0[:, None, None]
+    idB = base_id + sz0[:, None, None] + 1
+    okA = okc & (sz0[:, None, None] >= 0) & (sz0[:, None, None] < sgz)
+    okB = okc & (sz0[:, None, None] + 1 >= 0) & (sz0[:, None, None] + 1 < sgz)
+    slotA = slotmap[jnp.clip(jnp.where(okA, idA, 0), 0, n_ids - 1)]
+    slotB = slotmap[jnp.clip(jnp.where(okB, idB, 0), 0, n_ids - 1)]
+    exA = okA & (slotA >= 0)
+    exB = okB & (slotB >= 0)
+    lxy = lx[:, :, None] * P + ly[:, None, :]         # (K, P, P)
+    wA = jnp.where(
+        exA, table[jnp.clip(slotA * (P * P) + lxy, 0, slots * P * P - 1)], 0)
+    wB = jnp.where(
+        exB, table[jnp.clip(slotB * (P * P) + lxy, 0, slots * P * P - 1)], 0)
+    shift = lz0[:, None, None]
+    win = ((wA >> shift) | jnp.where(shift > 0, wB << (P - shift), 0)
+           ) & ((1 << P) - 1)                         # (K, P, P) 16 z-bits
+    occ = ((win[..., None] >> rng_[None, None, None, :]) & 1
+           ).astype(jnp.float32)                      # (K, P, P, P)
+    return occ
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_patches(key_pts: jnp.ndarray, key_mask: jnp.ndarray,
                     pyramid: VoxelPyramid, cfg: VoxelConfig = VoxelConfig()):
@@ -253,9 +352,15 @@ def extract_patches(key_pts: jnp.ndarray, key_mask: jnp.ndarray,
     for s in range(len(cfg.scale_ratios)):
         kv = keypoint_voxels(key_pts, s, cfg)
         if cfg.patch_method == "window":
-            out.append(_patches_one_scale_window(
-                kv, key_mask, pyramid.coords[s], pyramid.masks[s], cfg, s
-            ))
+            if cfg.bitgrid_slots[s] > 0:
+                out.append(_patches_one_scale_bitgrid(
+                    kv, key_mask, pyramid.coords[s], pyramid.masks[s], cfg,
+                    s, cfg.bitgrid_slots[s]
+                ))
+            else:
+                out.append(_patches_one_scale_window(
+                    kv, key_mask, pyramid.coords[s], pyramid.masks[s], cfg, s
+                ))
         else:
             out.append(_patches_one_scale(
                 kv, key_mask, pyramid.coords[s], pyramid.masks[s], cfg

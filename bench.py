@@ -52,6 +52,27 @@ _PEAK_FLOPS = {
     "TPU v6e": 918e12,
 }
 
+_PEAK_HBM_BYTES = {
+    # chip HBM bandwidth (bytes/s) — the binding resource for this
+    # gather/scatter/sort-bound pipeline, so utilization is reported on
+    # BOTH axes (MFU for the conv/matmul fraction, HBM for the rest)
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def _lookup_peak(table, device_kind):
+    if device_kind not in table:
+        raise SystemExit(
+            f"bench.py: unknown device_kind {device_kind!r} — add its peak "
+            f"to the table instead of silently assuming a v5e"
+        )
+    return table[device_kind]
+
 
 def main():
     import jax
@@ -107,9 +128,12 @@ def main():
     ).compile()
     compile_s = time.time() - t0
     try:
-        flops_per_window = float(compiled.cost_analysis().get("flops", 0.0))
+        ca = compiled.cost_analysis()
+        flops_per_window = float(ca.get("flops", 0.0))
+        bytes_per_window = float(ca.get("bytes accessed", 0.0))
     except Exception:
         flops_per_window = 0.0
+        bytes_per_window = 0.0
 
     # warm-up, fetch-synced (module docstring: a host fetch of a value
     # derived from the output is the only trustworthy execution barrier)
@@ -130,15 +154,34 @@ def main():
     fps = N_FRAMES / p50
 
     dev = jax.devices()[0]
-    peak = _PEAK_FLOPS.get(dev.device_kind, 197e12)
+    peak = _lookup_peak(_PEAK_FLOPS, dev.device_kind)
+    peak_hbm = _lookup_peak(_PEAK_HBM_BYTES, dev.device_kind)
     mfu = flops_per_window / p50 / peak if flops_per_window else 0.0
+    # achieved HBM fraction from XLA's post-optimization bytes-accessed
+    # count — the meaningful utilization axis for this gather-bound
+    # pipeline (MFU only covers the small conv/matmul fraction)
+    hbm_frac = bytes_per_window / p50 / peak_hbm if bytes_per_window else 0.0
 
-    log = MetricsLog(os.environ.get("BENCH_METRICS", "bench_metrics.jsonl"))
+    # capacity-saturation observability (ADVICE r2): per-scale occupancy vs
+    # the static supercell caps / bitgrid slots, logged per run so silent
+    # patch truncation on real data is detectable
+    from caelo_tpu.voxel.grid import occupancy_stats, voxelize
+
+    pyr = voxelize(pts_b[0, :, :3], mask_b[0], cfg.voxel)
+    occ = jax.tree.map(int, occupancy_stats(pyr, cfg.voxel))
+
+    os.makedirs("runs", exist_ok=True)
+    log = MetricsLog(os.environ.get("BENCH_METRICS",
+                                    "runs/bench_metrics.jsonl"))
     log.log("bench", device=str(dev.device_kind), frames=N_FRAMES,
             dtype=COMPUTE_DTYPE, compile_s=round(compile_s, 1),
             window_ms=[round(t * 1e3, 3) for t in times],
             pair_success=n_success,
-            flops_per_window=flops_per_window)
+            flops_per_window=flops_per_window,
+            bytes_per_window=bytes_per_window,
+            occupancy=occ,
+            supercell_caps=list(cfg.voxel.supercell_caps),
+            bitgrid_slots=list(cfg.voxel.bitgrid_slots))
 
     print(json.dumps({
         "metric": "frontend_frames_per_s",
@@ -146,6 +189,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "mfu": round(mfu, 4),
+        "hbm_frac": round(hbm_frac, 4),
+        "bytes_per_window": bytes_per_window,
         "p50_ms": round(p50 * 1e3, 3),
         "p95_ms": round(p95 * 1e3, 3),
         "n_frames_window": N_FRAMES,

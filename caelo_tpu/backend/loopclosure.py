@@ -80,16 +80,44 @@ class LoopClosures(NamedTuple):
     candidates_checked: int
 
 
-def detect_and_close(features: List, register_fn: Callable,
+def stack_frame_features(features):
+    """Stack a list of per-frame ``FrameFeatures`` into one pytree with
+    leading axis N (one device op per field).  A stacked pytree passes
+    through unchanged — the windowed front end already returns one."""
+    if isinstance(features, list) or (
+            isinstance(features, tuple) and not hasattr(features, "_fields")):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *features)
+    return features
+
+
+@functools.partial(jax.jit, static_argnames=("with_sc",))
+def _build_signatures(desc: jnp.ndarray, mask: jnp.ndarray,
+                      key_pts: jnp.ndarray, with_sc: bool):
+    """ONE device call for the whole trajectory's place-recognition
+    features: per-frame global descriptors, validity, and (``with_sc``)
+    scan contexts.  The per-frame host loop this replaces costs one device
+    dispatch per frame per op (~100 ms each over a remote-TPU tunnel —
+    ~15 min of pure dispatch on a 4,541-frame sequence)."""
+    gd = jax.vmap(frame_global_descriptor)(desc, mask)
+    valid = jnp.any(mask, axis=1)
+    scs = None
+    if with_sc:
+        scs = jax.vmap(lambda p, m: scan_context(p[:, :3], m))(key_pts, mask)
+    return gd, valid, scs
+
+
+def detect_and_close(features, register_fn: Callable = None,
                      min_gap: int = 100, max_candidates: int = 32,
                      max_accept: int = 16,
                      dedup_window: int = 10,
                      use_scan_context: bool = False,
-                     sc_min_score: float = 0.25) -> LoopClosures:
+                     sc_min_score: float = 0.25,
+                     register_batch_fn: Callable = None) -> LoopClosures:
     """Full loop-closure pass over a sequence's FrameFeatures.
 
     Args:
-      features: list of per-frame ``FrameFeatures``.
+      features: list of per-frame ``FrameFeatures`` or one stacked pytree
+        with leading axis N (the windowed front end's output).
       register_fn: ``(i, j) -> (R, t, success, n_inliers)`` — geometric
         verification (normally the front end's ``register_pair``).  With
         ``use_scan_context=True`` it is called as ``(i, j, yaw_rad)`` where
@@ -99,14 +127,21 @@ def detect_and_close(features: List, register_fn: Callable,
         alignment score (``backend.scancontext``) and drop candidates below
         ``sc_min_score`` before (expensive) geometric verification — higher
         recall on revisits with orientation change, fewer wasted checks.
+      register_batch_fn: ``(idx_i, idx_j, yaws) -> (Rs, ts, oks, n_inls)``
+        over numpy index arrays — verifies ALL surviving candidates in one
+        batched device call instead of one dispatch per candidate.  The
+        accepted set is identical to the sequential path (acceptance of one
+        candidate never changes another's verification result; dedup is
+        applied to the batched results in the same score order).
 
     Returns loop edges mapping frame j into frame i (the front-end's
     relative-pose convention), weighted by inlier count.
     """
-    gd = jnp.stack([
-        frame_global_descriptor(f.descriptors, f.mask) for f in features
-    ])
-    valid = jnp.asarray([bool(f.mask.any()) for f in features])
+    stacked = stack_frame_features(features)
+    gd, valid, scs = _build_signatures(
+        stacked.descriptors, stacked.mask, stacked.key_pts,
+        with_sc=use_scan_context,
+    )
     pi, pj, score, pmask = loop_candidates(
         gd, valid, min_gap=min_gap, max_candidates=max_candidates
     )
@@ -115,9 +150,6 @@ def detect_and_close(features: List, register_fn: Callable,
 
     yaws = [None] * len(pi)
     if use_scan_context:
-        scs = jnp.stack([
-            scan_context(f.key_pts[:, :3], f.mask) for f in features
-        ])
         # one batched device call for every candidate (masked slots score 0
         # and are overwritten with -inf below)
         s_all, y_all = _align_score_pairs(
@@ -131,17 +163,31 @@ def detect_and_close(features: List, register_fn: Callable,
         yaws = [yaws[k] for k in order]
         pmask = pmask & (sc_scores[order] >= sc_min_score)
 
+    batch_results = None
+    if register_batch_fn is not None:
+        live = np.nonzero(pmask)[0]
+        if live.size:
+            bR, bt, bok, bni = register_batch_fn(
+                pi[live], pj[live],
+                np.asarray([yaws[k] if yaws[k] is not None else 0.0
+                            for k in live], np.float32),
+            )
+            batch_results = {int(k): (bR[q], bt[q], bool(bok[q]), int(bni[q]))
+                             for q, k in enumerate(live)}
+
     ei, ej, Rs, ts, ws = [], [], [], [], []
     seen = []
     checked = 0
-    for i, j, m, yaw in zip(pi, pj, pmask, yaws):
+    for slot, (i, j, m, yaw) in enumerate(zip(pi, pj, pmask, yaws)):
         if not m or len(ei) >= max_accept:
             continue
         if any(abs(int(i) - a) < dedup_window and abs(int(j) - b) < dedup_window
                for a, b in seen):
             continue
         checked += 1
-        if use_scan_context:
+        if batch_results is not None:
+            R, t, ok, n_inl = batch_results[slot]
+        elif use_scan_context:
             R, t, ok, n_inl = register_fn(int(i), int(j), yaw)
         else:
             R, t, ok, n_inl = register_fn(int(i), int(j))

@@ -101,12 +101,18 @@ def refine_pairs_batched(f0s: RefinementFeatures, f1s: RefinementFeatures,
     )
 
 
-def stack_features(features: list, idx) -> RefinementFeatures:
-    """Gather per-frame RefinementFeatures at ``idx`` into a batched pytree."""
-    import numpy as np
+def stack_features(features, idx) -> RefinementFeatures:
+    """Gather RefinementFeatures at ``idx`` into a batched pytree.
 
-    sel = [features[int(i)] for i in idx]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *sel)
+    ``features`` is either a list of per-frame pytrees (legacy; stacked with
+    one op per frame) or one stacked pytree with leading axis N (the
+    windowed front end's layout; gathered with ONE device op per field)."""
+    if isinstance(features, list) or (
+            isinstance(features, tuple) and not hasattr(features, "_fields")):
+        sel = [features[int(i)] for i in idx]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *sel)
+    ii = jnp.asarray(np.asarray(idx), jnp.int32)
+    return jax.tree.map(lambda x: x[ii], features)
 
 
 def make_batched_icp_fn(features: list,
@@ -149,14 +155,20 @@ def make_batched_icp_fn(features: list,
     return batched
 
 
-def make_icp_fn(features: list, cfg: PipelineConfig = PipelineConfig()
+def make_icp_fn(features, cfg: PipelineConfig = PipelineConfig()
                 ) -> Callable:
     """Adapt ``refine_pair`` to the host-side ``refine_odometry`` contract:
     ``icp_fn(i, j, relR, relT) -> (dR, dt, success)``."""
 
+    def frame(i):
+        if isinstance(features, list) or (
+            isinstance(features, tuple) and not hasattr(features, "_fields")):
+            return features[i]
+        return jax.tree.map(lambda x: x[i], features)
+
     def icp_fn(i: int, j: int, relR: np.ndarray, relT: np.ndarray):
         res = refine_pair(
-            features[i], features[j],
+            frame(i), frame(j),
             jnp.asarray(relR, jnp.float32), jnp.asarray(relT, jnp.float32),
             cfg,
         )

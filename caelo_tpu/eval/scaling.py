@@ -40,14 +40,22 @@ def scaling_sweep(respond_params, encoder_params,
         pts[..., 1] = rng.uniform(-30, 30, (B, cfg.max_points))
         pts[..., 2] = rng.uniform(-2, 3, (B, cfg.max_points))
         msk = np.ones((B, cfg.max_points), bool)
-        p, m = jnp.asarray(pts), jnp.asarray(msk)
-        out = ex(respond_params, encoder_params, p, m)
-        jax.block_until_ready(out)
+        m = jnp.asarray(msk)
+        # Per-rep-varied inputs + a host fetch of a scalar computed from the
+        # output: ``jax.block_until_ready`` is NOT an execution barrier
+        # through the axon remote-TPU tunnel (it inflated r1's bench numbers
+        # ~50-2000x; see CLAUDE.md / ROADMAP).  The only trustworthy sync is
+        # fetching data derived from the rep's own result.
+        variants = [
+            jnp.asarray(pts + np.float32(1e-4 * r)) for r in range(reps + 1)
+        ]
+        out = ex(respond_params, encoder_params, variants[0], m)
+        float(jnp.sum(out.descriptors))         # warm-up, fetch-synced
         times = []
-        for _ in range(reps):
+        for r in range(reps):
             t0 = time.time()
-            out = ex(respond_params, encoder_params, p, m)
-            jax.block_until_ready(out)
+            out = ex(respond_params, encoder_params, variants[r + 1], m)
+            float(jnp.sum(out.descriptors) + jnp.sum(out.key_pts))
             times.append(time.time() - t0)
         dt = sorted(times)[len(times) // 2]
         results.append({"devices": n, "frames": B,

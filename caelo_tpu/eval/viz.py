@@ -103,6 +103,17 @@ def export_ply(path: str, pts, colors=None):
     return path
 
 
+def export_voxels_ply(path: str, pyramid, scale: int, cfg):
+    """Export one scale of an occupied-voxel pyramid as world-space cell
+    centers (the reference's voxel rebuild/visualization path,
+    ``Voxel.py:220-469`` + ``ShowFusedPC.py``)."""
+    from ..voxel.grid import decode_voxels
+
+    pts = np.asarray(decode_voxels(pyramid.coords[scale], scale, cfg))
+    m = np.asarray(pyramid.masks[scale])
+    return export_ply(path, pts[m])
+
+
 def export_fused_ply(path: str, clouds, poses_rt):
     """Fuse per-frame clouds into the world frame and export
     (ShowFusedPC.py:19-92 equivalent).

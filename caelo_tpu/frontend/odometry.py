@@ -116,6 +116,7 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
                           cfg: PipelineConfig = PipelineConfig(),
                           window: int = 16, seed: int = 0,
                           keep_features: bool = False,
+                          keep_refine_features: bool = False,
                           progress: Optional[Callable[[int], None]] = None
                           ) -> tuple:
     """Windowed odometry: ONE jitted program per 16-frame window.
@@ -125,7 +126,15 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
     per frame in ``run_odometry``.  Frame-to-frame semantics are identical;
     windows overlap by one frame so every consecutive pair is registered.
 
-    Returns ``(OdometryResult, features_list_or_None)``.
+    Returns ``(OdometryResult, features_or_None)`` where ``features`` is a
+    *stacked* ``FrameFeatures`` pytree with leading axis ``n`` (per-frame
+    views are one gather away; a list of per-frame pytrees would cost one
+    device dispatch per frame per field to build — ~100 ms each through a
+    remote-TPU tunnel).  With ``keep_refine_features=True`` returns
+    ``(OdometryResult, features, refinement_features)`` where the
+    refinement features come from the same window program (no second
+    front-end pass; the reference's ``KeyPts/*.mat`` save-once contract,
+    ``BatchPreprocess.py:119-152``).
     """
     from ..parallel.pipeline import make_sequence_processor
 
@@ -136,7 +145,8 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
     scans = list(scans)
     n = len(scans)
     assert n >= 2
-    process = make_sequence_processor(cfg)
+    keep_features = keep_features or keep_refine_features
+    process = make_sequence_processor(cfg, with_refine=keep_refine_features)
     key = jax.random.key(seed)
 
     rel_Rs = np.zeros((n - 1, 3, 3))
@@ -145,27 +155,36 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
     n_inl = np.zeros((n - 1,), np.int32)
     ths = np.zeros((n - 1,), np.float32)
     pairs: List = [None] * (n - 1)
-    feats_out: List = [None] * n if keep_features else None
+    feat_windows: List = []      # (first_kept_j, n_kept, stacked pytree)
+    ref_windows: List = []
 
-    def consume(start, idx, feats, regs):
-        """Pull one window's results to host (forces sync on that window)."""
+    def consume(start, idx, feats, ref_feats, regs):
+        """Pull one window's results to host — ONE fetch per field (not one
+        per pair: a per-element ``np.asarray(regs.R[k])`` costs a device
+        slice dispatch + fetch round-trip per pair)."""
         n_real_pairs = len(idx) - 1
+        R_all = np.asarray(regs.R, np.float64)
+        t_all = np.asarray(regs.t, np.float64)
+        s_all = np.asarray(regs.success)
+        ni_all = np.asarray(regs.n_inliers)
+        th_all = np.asarray(regs.threshold)
         inl_mask = np.asarray(regs.inlier_mask)
         idx0 = np.asarray(regs.inlier_idx0)
         idx1 = np.asarray(regs.inlier_idx1)
         for k in range(n_real_pairs):
             g = start + k
-            rel_Rs[g] = np.asarray(regs.R[k], np.float64)
-            rel_ts[g] = np.asarray(regs.t[k], np.float64)
-            succ[g] = bool(regs.success[k])
-            n_inl[g] = int(regs.n_inliers[k])
-            ths[g] = float(regs.threshold[k])
+            rel_Rs[g] = R_all[k]
+            rel_ts[g] = t_all[k]
+            succ[g] = bool(s_all[k])
+            n_inl[g] = int(ni_all[k])
+            ths[g] = float(th_all[k])
             m = inl_mask[k]
             pairs[g] = (idx0[k][m], idx1[k][m])
         if keep_features:
-            for j, i in enumerate(idx):
-                if feats_out[i] is None:
-                    feats_out[i] = jax.tree.map(lambda x: x[j], feats)
+            j0 = 0 if start == 0 else 1         # drop the overlap frame
+            feat_windows.append((j0, len(idx) - j0, feats))
+            if keep_refine_features:
+                ref_windows.append((j0, len(idx) - j0, ref_feats))
         if progress is not None:
             progress(idx[-1])
 
@@ -182,13 +201,32 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
         pts = jnp.stack([jnp.asarray(scans[i][0]) for i in idx_p])
         msk = jnp.stack([jnp.asarray(scans[i][1]) for i in idx_p])
         key, sub = jax.random.split(key)
-        feats, regs = process(respond_params, encoder_params, pts, msk, sub)
+        if keep_refine_features:
+            feats, ref_feats, regs = process(
+                respond_params, encoder_params, pts, msk, sub)
+        else:
+            feats, regs = process(respond_params, encoder_params, pts, msk,
+                                  sub)
+            ref_feats = None
         if pending is not None:
             consume(*pending)
-        pending = (start, idx, feats, regs)
+        pending = (start, idx, feats, ref_feats, regs)
         start = stop - 1                        # 1-frame overlap
     if pending is not None:
         consume(*pending)
+
+    def concat_windows(windows):
+        """Stack kept frames of all windows: one slice + one concat per
+        pytree field, regardless of sequence length."""
+        views = [jax.tree.map(lambda x: x[j0:j0 + nk], f)
+                 for j0, nk, f in windows]
+        if len(views) == 1:
+            return views[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *views)
+
+    feats_out = concat_windows(feat_windows) if keep_features else None
+    refs_out = (concat_windows(ref_windows)
+                if keep_refine_features else None)
 
     # constant-velocity fallback on failures (same as run_odometry)
     prevR, prevT = np.eye(3), np.zeros(3)
@@ -205,4 +243,6 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
         poses=poses, rel_Rs=rel_Rs, rel_ts=rel_ts, successes=succ,
         n_inliers=n_inl, inlier_pairs=pairs, thresholds=ths,
     )
+    if keep_refine_features:
+        return result, feats_out, refs_out
     return result, feats_out

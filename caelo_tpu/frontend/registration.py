@@ -52,12 +52,13 @@ class PairRegistration(NamedTuple):
     threshold: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
-                           mask: jnp.ndarray,
-                           cfg: PipelineConfig = PipelineConfig()
-                           ) -> FrameFeatures:
-    """Full per-frame front end: padded scan -> keypoints + descriptors."""
+def _extract(respond_params, encoder_params, pts: jnp.ndarray,
+             mask: jnp.ndarray, cfg: PipelineConfig, with_refine: bool):
+    """Shared front-end body: padded scan -> keypoints + descriptors, and
+    (``with_refine``) the refinement features from the SAME projection /
+    respond / NMS results — the reference saves these once to
+    ``KeyPts/*.mat`` during preprocessing (``BatchPreprocess.py:119-152``)
+    rather than re-running the front end for the refinement stage."""
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     cast = lambda tree: jax.tree.map(lambda x: x.astype(dt), tree)
     image, counter = project_to_spherical_ring(pts, mask, cfg.sensor)
@@ -65,9 +66,28 @@ def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
     respond = RespondLayer().apply(
         cast(respond_params), net_in.astype(dt)
     )[0].astype(jnp.float32)
-    key_pts, key_pixels, key_mask, _ = select_keypoints(
+    key_pts, key_pixels, key_mask, saliency = select_keypoints(
         image, counter, respond, cfg.sensor, cfg.keypoint
     )
+    ref_feats = None
+    if with_refine:
+        from ..backend.refine_runner import RefinementFeatures
+        from ..ops.masking import compact
+        from ..projection.normals import extract_planar_points
+        from ..projection.spherical import extend_keypoints
+
+        nbr_pts, nbr_mask = extend_keypoints(
+            image, counter, key_pixels, key_mask, cfg.sensor,
+            radius=cfg.keypoint.extend_radius,
+        )
+        ext_pts, ext_mask, _ = compact(
+            nbr_pts.reshape(-1, 3), nbr_mask.reshape(-1),
+            cfg.icp.max_points, fill=0.0,
+        )
+        planar, planar_mask = extract_planar_points(
+            image, counter, saliency, cfg.sensor, max_planar=cfg.icp.max_planar
+        )
+        ref_feats = RefinementFeatures(ext_pts, ext_mask, planar, planar_mask)
     pyramid = voxelize(pts[:, :3], mask, cfg.voxel)
     patches = extract_patches(key_pts, key_mask, pyramid, cfg.voxel)
     enc = PatchEncoder(activation=cfg.encoder_activation,
@@ -92,7 +112,34 @@ def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
         [codes_all[i * K:(i + 1) * K] for i in range(len(patches))], axis=-1
     )
     descriptors = jnp.where(key_mask[:, None], descriptors, 0.0)
-    return FrameFeatures(key_pts, descriptors, key_mask, key_pixels)
+    return FrameFeatures(key_pts, descriptors, key_mask, key_pixels), ref_feats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_frame_features(respond_params, encoder_params, pts: jnp.ndarray,
+                           mask: jnp.ndarray,
+                           cfg: PipelineConfig = PipelineConfig()
+                           ) -> FrameFeatures:
+    """Full per-frame front end: padded scan -> keypoints + descriptors."""
+    feats, _ = _extract(respond_params, encoder_params, pts, mask, cfg,
+                        with_refine=False)
+    return feats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_frame_features_full(respond_params, encoder_params,
+                                pts: jnp.ndarray, mask: jnp.ndarray,
+                                cfg: PipelineConfig = PipelineConfig()):
+    """``extract_frame_features`` + refinement features in one pass.
+
+    Returns ``(FrameFeatures, RefinementFeatures)`` computed from a single
+    projection / respond-net / NMS run — avoids the second front-end pass
+    the naive pipeline would pay to feed the refinement back end (the
+    reference's ``KeyPts/*.mat`` save-once contract,
+    ``BatchPreprocess.py:119-152``; reloaded by ``RefinePoses.py:276-277``).
+    """
+    return _extract(respond_params, encoder_params, pts, mask, cfg,
+                    with_refine=True)
 
 
 def _register(key, f0, f1, cfg, prior_R=None, prior_t=None,

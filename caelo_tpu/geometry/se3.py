@@ -328,7 +328,13 @@ def correct_beam_angle_np(pts: "np.ndarray", angle_deg: float = 0.22):
     """Host-side (numpy) twin of :func:`correct_beam_angle` for the scan
     loaders — scan IO is host code, so the per-scan intrinsic fix must not
     dispatch to the device.  Same math: rotate each point by ``angle_deg``
-    about ``p x z`` (Rodrigues on the per-point axis)."""
+    about ``p x z`` (Rodrigues on the per-point axis).
+
+    Parity deviation (deliberate): for points exactly on the z-axis the
+    reference's normalize produces NaN which it then zeroes, collapsing the
+    point to the origin (``CorrectPts.m``); here the degenerate axis leaves
+    the point untouched — the rotation is undefined there and keeping the
+    point is strictly better than destroying it."""
     import numpy as np
 
     pts = np.asarray(pts)

@@ -46,7 +46,8 @@ def make_batched_feature_extractor(mesh: Mesh,
     )
 
 
-def make_sequence_processor(cfg: PipelineConfig = PipelineConfig()):
+def make_sequence_processor(cfg: PipelineConfig = PipelineConfig(),
+                            with_refine: bool = False):
     """ONE jitted call for a whole frame window: batched feature extraction
     (vmap over frames) + batched consecutive-pair registration (vmap over
     pairs).  This is the production throughput path: per-call host dispatch
@@ -56,17 +57,31 @@ def make_sequence_processor(cfg: PipelineConfig = PipelineConfig()):
     ~6 ms/frame.
 
     Returns ``fn(respond_params, encoder_params, pts (B,N,4), mask (B,N),
-    key) -> (FrameFeatures batch, PairRegistration batch over B-1 pairs)``.
+    key) -> (FrameFeatures batch, PairRegistration batch over B-1 pairs)``,
+    or with ``with_refine=True`` ``-> (FrameFeatures, RefinementFeatures,
+    PairRegistration)`` — the refinement features come from the same
+    projection/respond/NMS results, so the refinement back end never pays a
+    second front-end pass (the reference's ``KeyPts/*.mat`` save-once
+    contract, ``BatchPreprocess.py:119-152``).
     """
-    from ..frontend.registration import (register_pair,
+    from ..frontend.registration import (extract_frame_features_full,
+                                         register_pair,
                                          register_pair_with_prior)
 
     def process(respond_params, encoder_params, pts, mask, key):
-        feats = jax.vmap(
-            lambda p, m: extract_frame_features(
-                respond_params, encoder_params, p, m, cfg
-            )
-        )(pts, mask)
+        if with_refine:
+            feats, ref_feats = jax.vmap(
+                lambda p, m: extract_frame_features_full(
+                    respond_params, encoder_params, p, m, cfg
+                )
+            )(pts, mask)
+        else:
+            feats = jax.vmap(
+                lambda p, m: extract_frame_features(
+                    respond_params, encoder_params, p, m, cfg
+                )
+            )(pts, mask)
+            ref_feats = None
         B = pts.shape[0]
         f0 = jax.tree.map(lambda x: x[:-1], feats)
         f1 = jax.tree.map(lambda x: x[1:], feats)
@@ -106,9 +121,86 @@ def make_sequence_processor(cfg: PipelineConfig = PipelineConfig()):
 
             regs = jax.lax.cond(jnp.all(regs.success),
                                 lambda r: r, retry, regs)
+        if with_refine:
+            return feats, ref_feats, regs
         return feats, regs
 
     return jax.jit(process)
+
+
+def make_sharded_icp_fn(features, mesh: Mesh,
+                        cfg: PipelineConfig = PipelineConfig(),
+                        spans_per_device: int = 4):
+    """Mesh-sharded drop-in for ``refine_runner.make_batched_icp_fn``:
+    the keyframe-span hybrid-ICP solves of ``refine.refine_odometry_batched``
+    with the span axis sharded over the mesh's ``'data'`` axis.
+
+    Spans within one Jacobi pass are independent (the framework's
+    context-parallel analog — SURVEY section 2.4 final row: keyframe-span /
+    map-block partitioning vs the reference's 10-process frame sharding,
+    ``BatchPreprocess.py:157,215-225``), so each device solves its span
+    shard against the replicated feature stack; the cheap accept/propagate
+    chain (and its cross-shard pose dependencies) stays host-side float64,
+    fed by ``neighbor_pose_exchange``-style halo semantics — every accepted
+    span correction only needs the span's OWN endpoints' relative pose,
+    which the host already holds.
+
+    Produces bit-identical results to the single-device batched path: the
+    per-span ICP computation does not cross the sharded axis.
+
+    Args:
+      features: stacked ``RefinementFeatures`` pytree (leading axis
+        n_frames) or a list of per-frame pytrees.
+      spans_per_device: static span batch per device per call (pads the
+        last call; one compile regardless of trajectory length).
+    """
+    from ..backend.refine_runner import refine_pair, stack_features
+
+    feats = stack_features(features, range(
+        len(features))) if isinstance(features, list) else features
+    n_dev = mesh.shape["data"]
+    S = n_dev * spans_per_device
+    data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    solve = jax.jit(
+        lambda f, ii, jj, rR, rT: (
+            lambda res: (res.R, res.t, res.success)
+        )(jax.vmap(lambda a, b, R, t: refine_pair(a, b, R, t, cfg))(
+            jax.tree.map(lambda x: x[ii], f),
+            jax.tree.map(lambda x: x[jj], f), rR, rT)),
+        in_shardings=(rep, data, data, data, data),
+        out_shardings=(data, data, data),
+    )
+
+    import numpy as np
+
+    def batched(idx_i, idx_j, relRs, relTs):
+        n = len(idx_i)
+        dRs = np.zeros((n, 3, 3))
+        dts = np.zeros((n, 3))
+        oks = np.zeros((n,), bool)
+        for s in range(0, n, S):
+            sel = slice(s, min(s + S, n))
+            k = sel.stop - sel.start
+            pad = S - k
+            ii = np.concatenate([idx_i[sel], np.repeat(idx_i[sel][-1:], pad)])
+            jj = np.concatenate([idx_j[sel], np.repeat(idx_j[sel][-1:], pad)])
+            rR = np.concatenate(
+                [relRs[sel], np.repeat(relRs[sel][-1:], pad, axis=0)]
+            ).astype(np.float32)
+            rT = np.concatenate(
+                [relTs[sel], np.repeat(relTs[sel][-1:], pad, axis=0)]
+            ).astype(np.float32)
+            R, t, ok = solve(feats, jnp.asarray(ii, jnp.int32),
+                             jnp.asarray(jj, jnp.int32),
+                             jnp.asarray(rR), jnp.asarray(rT))
+            dRs[sel] = np.asarray(R, np.float64)[:k]
+            dts[sel] = np.asarray(t, np.float64)[:k]
+            oks[sel] = np.asarray(ok)[:k]
+        return dRs, dts, oks
+
+    return batched
 
 
 def neighbor_pose_exchange(mesh: Mesh):

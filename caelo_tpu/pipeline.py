@@ -16,6 +16,7 @@ operational contract, one .npz tree instead of five .mat trees.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterable, List, Optional
 
 import jax
@@ -111,6 +112,38 @@ def stage_refinement(poses_dj, ref_feats, inlier_pairs, R_tr, t_tr,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _verify_loop_candidates(key, feats, idx_i, idx_j, yaws,
+                            cfg: PipelineConfig):
+    """Geometric verification of all loop candidates in ONE device call:
+    plain registration per pair, then a ScanContext-yaw-prior retry (wide
+    gate: the prior carries no translation) selected only where the plain
+    pass failed.  Each pair gets its own fold_in-derived PRNG key."""
+    from .backend.scancontext import yaw_rotation
+    from .frontend.registration import register_pair_with_prior
+
+    n = idx_i.shape[0]
+    f_i = jax.tree.map(lambda x: x[idx_i], feats)
+    f_j = jax.tree.map(lambda x: x[idx_j], feats)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        key, jnp.arange(n, dtype=jnp.uint32))
+    regs = jax.vmap(lambda k, a, b: register_pair(k, a, b, cfg))(
+        keys, f_i, f_j)
+    keys2 = jax.vmap(jax.random.fold_in)(
+        keys, jnp.full((n,), 1, jnp.uint32))
+    regs2 = jax.vmap(
+        lambda k, a, b, y: register_pair_with_prior(
+            k, a, b, yaw_rotation(y), jnp.zeros(3, jnp.float32), cfg,
+            gate_m=15.0)
+    )(keys2, f_i, f_j, yaws)
+    use2 = (~regs.success) & regs2.success
+    sel = lambda r2, r1: jax.tree.map(
+        lambda a, b: jnp.where(
+            use2.reshape((-1,) + (1,) * (a.ndim - 1)), a, b), r2, r1)
+    out = sel(regs2, regs)
+    return out.R, out.t, out.success, out.n_inliers
+
+
 def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
                        cfg: PipelineConfig, min_loop_gap: int = 100,
                        seed: int = 0):
@@ -118,25 +151,22 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
 
     Returns ``(poses_final, n_loops, loop_edge_i, loop_edge_j)``.
     """
-    from .backend.scancontext import yaw_rotation
-    from .frontend.registration import register_pair_with_prior
+    from .backend.loopclosure import stack_frame_features
 
     key = jax.random.key(seed + 7)
+    stacked = stack_frame_features(feats)
 
-    def register_fn(i, j, yaw=None):
-        reg = register_pair(key, feats[i], feats[j], cfg)
-        if not bool(reg.success) and yaw is not None:
-            # retry with the ScanContext yaw as a motion prior (wide gate:
-            # the prior carries no translation)
-            reg = register_pair_with_prior(
-                key, feats[i], feats[j], yaw_rotation(yaw),
-                jnp.zeros(3, jnp.float32), cfg, gate_m=15.0,
-            )
-        return (np.asarray(reg.R), np.asarray(reg.t),
-                bool(reg.success), int(reg.n_inliers))
+    def register_batch_fn(idx_i, idx_j, yaws):
+        Rs, ts, oks, nis = _verify_loop_candidates(
+            key, stacked,
+            jnp.asarray(idx_i, jnp.int32), jnp.asarray(idx_j, jnp.int32),
+            jnp.asarray(yaws, jnp.float32), cfg,
+        )
+        return (np.asarray(Rs), np.asarray(ts), np.asarray(oks),
+                np.asarray(nis))
 
-    loops = detect_and_close(feats, register_fn, min_gap=min_loop_gap,
-                             use_scan_context=True)
+    loops = detect_and_close(stacked, register_batch_fn=register_batch_fn,
+                             min_gap=min_loop_gap, use_scan_context=True)
     n_loops = loops.n_accepted
     loop_ei = np.asarray(loops.edges.edge_i, np.int32)
     loop_ej = np.asarray(loops.edges.edge_j, np.int32)
@@ -173,56 +203,63 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
 
 # ----------------------------------------------------- artifact persistence
 def save_stage_outputs(store: ArtifactStore, seq: str, odo: OdometryResult,
-                       feats: List[FrameFeatures],
-                       ref_feats: List[RefinementFeatures],
+                       feats: FrameFeatures,
+                       ref_feats: RefinementFeatures,
                        R_tr, t_tr) -> None:
     """Persist everything the back-end stages need: per-frame front-end
     features (the reference's ``Features/``), per-frame refinement features
     (``KeyPts/`` extended keypoints), per-pair RANSAC inliers + relative
-    poses (``InliersIdx/`` + the ``poses_`` ingredients), and the calib."""
-    for i, f in enumerate(feats):
+    poses (``InliersIdx/`` + the ``poses_`` ingredients), and the calib.
+
+    ``feats`` / ``ref_feats`` are stacked pytrees with leading axis N (the
+    windowed front end's output); each field is fetched to host ONCE and
+    sliced in numpy (per-frame device slicing would cost one dispatch per
+    frame per field)."""
+    fh = jax.tree.map(np.asarray, feats)
+    rh = jax.tree.map(np.asarray, ref_feats)
+    n = fh.key_pts.shape[0]
+    for i in range(n):
         store.save("features", seq, i,
-                   key_pts=np.asarray(f.key_pts),
-                   descriptors=np.asarray(f.descriptors),
-                   mask=np.asarray(f.mask),
-                   key_pixels=np.asarray(f.key_pixels))
-    for i, f in enumerate(ref_feats):
+                   key_pts=fh.key_pts[i],
+                   descriptors=fh.descriptors[i],
+                   mask=fh.mask[i],
+                   key_pixels=fh.key_pixels[i])
         store.save("refine_features", seq, i,
-                   ext_pts=np.asarray(f.ext_pts),
-                   ext_mask=np.asarray(f.ext_mask),
-                   planar=np.asarray(f.planar),
-                   planar_mask=np.asarray(f.planar_mask))
+                   ext_pts=rh.ext_pts[i],
+                   ext_mask=rh.ext_mask[i],
+                   planar=rh.planar[i],
+                   planar_mask=rh.planar_mask[i])
     for k, (i0, i1) in enumerate(odo.inlier_pairs):
         store.save("inliers", seq, k, idx0=i0, idx1=i1,
                    rel_R=odo.rel_Rs[k], rel_t=odo.rel_ts[k],
                    success=np.asarray(odo.successes[k]),
                    n_inliers=np.asarray(odo.n_inliers[k]))
     store.save("meta", seq, "calib", R_tr=np.asarray(R_tr),
-               t_tr=np.asarray(t_tr), n_frames=np.asarray(len(feats)))
+               t_tr=np.asarray(t_tr), n_frames=np.asarray(n))
 
 
 def load_stage_inputs(store: ArtifactStore, seq: str):
     """Reload what ``save_stage_outputs`` wrote.  Returns a dict with
-    ``feats``, ``ref_feats``, ``inlier_pairs``, ``rel_Rs``, ``rel_ts``,
+    ``feats`` / ``ref_feats`` as *stacked* pytrees (leading axis N — the
+    same layout the windowed front end produces; one host->device transfer
+    per field), plus ``inlier_pairs``, ``rel_Rs``, ``rel_ts``,
     ``successes``, ``R_tr``, ``t_tr``, ``n_frames``."""
     calib = store.load("meta", seq, "calib")
     n = int(calib["n_frames"])
-    feats, ref_feats, pairs, rel_Rs, rel_ts, succ = [], [], [], [], [], []
+    fcols = {k: [] for k in ("key_pts", "descriptors", "mask", "key_pixels")}
+    rcols = {k: [] for k in ("ext_pts", "ext_mask", "planar", "planar_mask")}
+    pairs, rel_Rs, rel_ts, succ = [], [], [], []
     for i in range(n):
         z = store.load("features", seq, i)
-        feats.append(FrameFeatures(
-            key_pts=jnp.asarray(z["key_pts"]),
-            descriptors=jnp.asarray(z["descriptors"]),
-            mask=jnp.asarray(z["mask"]),
-            key_pixels=jnp.asarray(z["key_pixels"]),
-        ))
+        for k in fcols:
+            fcols[k].append(z[k])
         z = store.load("refine_features", seq, i)
-        ref_feats.append(RefinementFeatures(
-            ext_pts=jnp.asarray(z["ext_pts"]),
-            ext_mask=jnp.asarray(z["ext_mask"]),
-            planar=jnp.asarray(z["planar"]),
-            planar_mask=jnp.asarray(z["planar_mask"]),
-        ))
+        for k in rcols:
+            rcols[k].append(z[k])
+    feats = FrameFeatures(
+        **{k: jnp.asarray(np.stack(v)) for k, v in fcols.items()})
+    ref_feats = RefinementFeatures(
+        **{k: jnp.asarray(np.stack(v)) for k, v in rcols.items()})
     for k in range(n - 1):
         z = store.load("inliers", seq, k)
         pairs.append((z["idx0"], z["idx1"]))
@@ -247,12 +284,11 @@ def preprocess_to_store(scans, respond_params, encoder_params, R_tr, t_tr,
     from .frontend.odometry import run_odometry_windowed
 
     scans = list(scans)
-    odo, feats = run_odometry_windowed(
+    odo, feats, ref_feats = run_odometry_windowed(
         scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-        window=min(window, len(scans)), seed=seed, keep_features=True,
-        progress=progress,
+        window=min(window, len(scans)), seed=seed,
+        keep_refine_features=True, progress=progress,
     )
-    ref_feats = extract_refinement_features_batched(scans, respond_params, cfg)
     save_stage_outputs(store, seq, odo, feats, ref_feats, R_tr, t_tr)
     return odo
 
@@ -277,14 +313,23 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     timer = timer or StageTimer(sync=False)
 
     # ---- stage 1: odometry front end (windowed: one jitted program per
-    # 16-frame window; features kept for loop closure)
+    # 16-frame window; features kept for loop closure; refinement features
+    # produced by the SAME window program — no second front-end pass)
     from .frontend.odometry import run_odometry_windowed
 
     with timer.stage("frontend"):
-        odo, feats = run_odometry_windowed(
-            scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-            window=min(16, len(scans)), seed=seed, keep_features=True,
-        )
+        if enable_refinement:
+            odo, feats, ref_feats = run_odometry_windowed(
+                scans, respond_params, encoder_params, R_tr, t_tr, cfg,
+                window=min(16, len(scans)), seed=seed,
+                keep_refine_features=True,
+            )
+        else:
+            odo, feats = run_odometry_windowed(
+                scans, respond_params, encoder_params, R_tr, t_tr, cfg,
+                window=min(16, len(scans)), seed=seed, keep_features=True,
+            )
+            ref_feats = None
     poses_raw = odo.poses
     if metrics:
         metrics.log("frontend", frames=len(scans),
@@ -297,12 +342,10 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     if metrics:
         metrics.log("dejump", fixed=len(dejumped))
 
-    # ---- stage 3: keyframe-transfer ICP refinement
+    # ---- stage 3: keyframe-transfer ICP refinement (features reused from
+    # stage 1's window program — the reference reloads KeyPts/*.mat here,
+    # RefinePoses.py:276-277)
     if enable_refinement:
-        with timer.stage("refine_features"):
-            ref_feats = extract_refinement_features_batched(
-                scans, respond_params, cfg
-            )
         with timer.stage("refine"):
             poses_ref, stats = stage_refinement(
                 poses_dj, ref_feats, odo.inlier_pairs, R_tr, t_tr, cfg,

@@ -200,6 +200,9 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
 
         take = left[..., None] + jnp.arange(C, dtype=jnp.int32)  # (k, 8, C)
         valid = jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt[..., None]
+        # measured on v5e (r3): fetching the runs as contiguous vmapped
+        # dynamic_slices instead of this element gather changes nothing
+        # (25.4 vs 24.9 ms/frame) — the gather is not the bottleneck here
         loc = local_sorted[jnp.clip(take, 0, M - 1)]  # (k, 8, C) int32
 
         # absolute voxel = supercell * P + local;  offsets per axis
@@ -262,7 +265,11 @@ def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
     sgx = -(-g[0] // P)
     pbits = P.bit_length() - 1
     pmask = P - 1
-    assert P <= 32, "z-bits must fit one int32 word"
+    # P <= 16, not 32: at P=32 `1 << 31` sets the int32 sign bit (the >>
+    # becomes an arithmetic shift), and `(1 << P) - 1` / `wB << (P - shift)`
+    # overflow int32.  Matches the 4-bit packed-local-coord assumption in
+    # _patches_one_scale_window.
+    assert P <= 16, "z-bits must fit the low half of one int32 word"
 
     sc = vox >> pbits
     lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
@@ -332,6 +339,91 @@ def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
     occ = ((win[..., None] >> rng_[None, None, None, :]) & 1
            ).astype(jnp.float32)                      # (K, P, P, P)
     return occ
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "cfg"))
+def decode_voxels(coords: jnp.ndarray, scale: int,
+                  cfg: VoxelConfig = VoxelConfig()) -> jnp.ndarray:
+    """Occupied-voxel coords (voxel-index space) -> world-space cell
+    centers, ``(M, 3)`` float32.
+
+    The explicit inverse of :func:`voxelize`'s binning — the reference
+    ships four such rebuilders for visualization/debug
+    (``RebuildPCFromVoxels`` / ``RebuildPCsFromVoxels*``,
+    ``Voxel.py:220-469``); pair with the pyramid's mask to drop padding.
+    Used by ``eval.viz.export_voxels_ply``.
+    """
+    origin = jnp.array(cfg.origin, jnp.float32)
+    vs = jnp.float32(cfg.voxel_sizes[scale])
+    return (coords.astype(jnp.float32) + 0.5) * vs + origin
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "cfg"))
+def decode_patch(occ: jnp.ndarray, key_pt: jnp.ndarray, scale: int,
+                 cfg: VoxelConfig = VoxelConfig()):
+    """16^3 occupancy patch -> world-space centers of its occupied cells.
+
+    Inverse of :func:`extract_patches` for one keypoint (the reference's
+    ``RebuildPCFromVoxelLocations``-style patch debug view,
+    ``Voxel.py:220-268``).  Returns ``(P^3, 3)`` centers + ``(P^3,)`` bool
+    occupancy mask (fixed shape; mask selects the real points).
+    """
+    P = cfg.patch_size
+    R = cfg.patch_radius
+    kv = keypoint_voxels(key_pt[None], scale, cfg)[0]
+    r = jnp.arange(P, dtype=jnp.int32) - R
+    gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
+    cells = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + kv
+    return decode_voxels(cells, scale, cfg), occ.reshape(-1) > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def occupancy_stats(pyramid: VoxelPyramid, cfg: VoxelConfig = VoxelConfig()):
+    """Saturation observability for the static patch-gather capacities.
+
+    The window/bitgrid patch paths silently drop voxels beyond
+    ``cfg.supercell_caps`` / supercells beyond ``cfg.bitgrid_slots`` —
+    degradation that is measurable but otherwise invisible (silent
+    saturation measurably hurt registration in the hard-benchmark tuning:
+    RTE 0.25 m vs 0.06 m).  This returns, per scale:
+
+    * ``n_voxels``        — unique occupied voxels (vs ``cfg.max_voxels``)
+    * ``n_supercells``    — occupied 16-aligned supercells (vs
+      ``cfg.bitgrid_slots`` where the bitgrid path is active)
+    * ``max_supercell_occupancy`` — the densest supercell's voxel count
+      (vs ``cfg.supercell_caps`` where the windowed path is active)
+
+    One jitted call over the pyramid; wire the scalars into MetricsLog
+    (bench.py / cli full do) so overflow on real data is observable.
+    """
+    P = cfg.patch_size
+    pbits = P.bit_length() - 1
+    out = {}
+    for s in range(len(cfg.scale_ratios)):
+        vox, msk, cnt = pyramid.coords[s], pyramid.masks[s], pyramid.counts[s]
+        g = cfg.grid_shape(s)
+        sgy = -(-g[1] // P)
+        sgz = -(-g[2] // P)
+        sc = vox >> pbits
+        lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
+        lin = jnp.where(msk, lin, jnp.iinfo(jnp.int32).max)
+        ls = jnp.sort(lin)
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), bool), ls[1:] != ls[:-1]])
+        real = ls != jnp.iinfo(jnp.int32).max
+        is_first &= real
+        n_sc = jnp.sum(is_first)
+        # longest run of equal ids = max per-supercell occupancy
+        pos = jnp.arange(ls.shape[0], dtype=jnp.int32)
+        run_start = jnp.where(is_first, pos, -1)
+        start_of_run = jax.lax.cummax(run_start)
+        run_len = jnp.where(real, pos - start_of_run + 1, 0)
+        out[f"scale{s}"] = {
+            "n_voxels": cnt,
+            "n_supercells": n_sc,
+            "max_supercell_occupancy": jnp.max(run_len),
+        }
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

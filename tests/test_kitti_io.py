@@ -116,7 +116,10 @@ def test_windowed_matches_sequential(kitti_tree, params):
         keep_features=True,
     )
     assert win.poses.shape == seq.poses.shape == (5, 12)
-    assert all(f is not None for f in feats)
+    # features come back as ONE stacked pytree with leading axis n_frames
+    assert feats.key_pts.shape[0] == 5
+    assert feats.descriptors.shape[0] == 5
+    assert feats.mask.shape[0] == 5
     # both drivers register the same pairs; success flags agree
     np.testing.assert_array_equal(win.successes.shape, seq.successes.shape)
     # each pair's translation estimates agree within RANSAC noise when both

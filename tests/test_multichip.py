@@ -107,3 +107,68 @@ def test_batched_feature_extractor_sharded():
     # frame axis is sharded over 'data'
     shard_axes = feats.key_pts.sharding.spec
     assert shard_axes[0] == "data"
+
+
+def test_sharded_refinement_matches_batched():
+    """Span-sharded hybrid-ICP refinement (make_sharded_icp_fn, span axis
+    over the mesh 'data' axis) produces the same refined trajectory as the
+    single-device batched path — SURVEY section 2.4's keyframe-span
+    partitioning actually driving the production refine stage."""
+    from caelo_tpu.backend import refine
+    from caelo_tpu.backend.refine_runner import (RefinementFeatures,
+                                                 make_batched_icp_fn)
+    from caelo_tpu.parallel.pipeline import make_sharded_icp_fn
+
+    cfg = tiny_test_config()
+    r = np.random.default_rng(5)
+    n = 10
+    E, Pl = cfg.icp.max_points, cfg.icp.max_planar
+    # structured per-frame clouds so ICP has signal: a shared base cloud
+    # translated per frame
+    base = r.uniform(-20, 20, (E, 3)).astype(np.float32)
+    normals = np.tile(np.array([0, 0, 1], np.float32), (Pl, 1))
+    plbase = r.uniform(-10, 10, (Pl, 3)).astype(np.float32)
+    plbase[:, 2] = 0.0
+    feats = RefinementFeatures(
+        ext_pts=jnp.asarray(np.stack(
+            [base + np.array([0.9 * i, 0.02 * i, 0.0], np.float32)
+             for i in range(n)])),
+        ext_mask=jnp.ones((n, E), bool),
+        planar=jnp.asarray(np.stack(
+            [np.concatenate(
+                [plbase + np.array([0.9 * i, 0.02 * i, 0.0], np.float32),
+                 normals], axis=1)
+             for i in range(n)])),
+        planar_mask=jnp.ones((n, Pl), bool),
+    )
+    # drifted odometry poses (identity rotation, noisy translation chain)
+    poses = []
+    t = np.zeros(3)
+    for i in range(n):
+        row = np.concatenate([np.eye(3), t.reshape(3, 1)], 1).reshape(12)
+        poses.append(row)
+        t = t + np.array([-0.9, -0.02, 0.0]) + r.normal(0, 0.02, 3)
+    poses = np.stack(poses)
+
+    def rel_lidar_fn(p0, p1):
+        P0 = np.asarray(p0, np.float64).reshape(3, 4)
+        P1 = np.asarray(p1, np.float64).reshape(3, 4)
+        R = P0[:, :3].T @ P1[:, :3]
+        tt = P0[:, :3].T @ (P1[:, 3] - P0[:, 3])
+        return R, tt
+
+    def apply_rel_fn(pose0, relR, relT):
+        P0 = np.asarray(pose0, np.float64).reshape(3, 4)
+        R = P0[:, :3] @ np.asarray(relR)
+        tt = P0[:, :3] @ np.asarray(relT) + P0[:, 3]
+        return np.concatenate([R, tt.reshape(3, 1)], 1).reshape(12)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    p_plain, s_plain = refine.refine_odometry_batched(
+        poses, make_batched_icp_fn(feats, cfg), rel_lidar_fn, apply_rel_fn,
+        cfg=cfg.refine)
+    p_shard, s_shard = refine.refine_odometry_batched(
+        poses, make_sharded_icp_fn(feats, mesh, cfg), rel_lidar_fn,
+        apply_rel_fn, cfg=cfg.refine)
+    assert len(s_plain.refined) == len(s_shard.refined)
+    np.testing.assert_allclose(p_shard, p_plain, atol=1e-5)

@@ -95,12 +95,11 @@ def test_artifact_store_roundtrip_dtypes(tmp_path):
     preprocess_to_store(scans, respond, encoder, np.eye(3), np.zeros(3),
                         CFG, store, "07", seed=1)
     data = load_stage_inputs(store, "07")
-    assert len(data["feats"]) == 3 and len(data["ref_feats"]) == 3
-    f = data["feats"][0]
-    assert f.key_pts.shape == (CFG.keypoint.n_keypoints, 3)
-    assert f.descriptors.shape[0] == CFG.keypoint.n_keypoints
+    f = data["feats"]          # stacked pytree, leading axis n_frames
+    assert f.key_pts.shape == (3, CFG.keypoint.n_keypoints, 3)
+    assert f.descriptors.shape[:2] == (3, CFG.keypoint.n_keypoints)
     assert data["rel_Rs"].shape == (2, 3, 3)
-    rf = data["ref_feats"][0]
-    assert rf.ext_pts.shape[0] == CFG.icp.max_points
-    assert rf.planar.shape[1] == 6
+    rf = data["ref_feats"]
+    assert rf.ext_pts.shape[:2] == (3, CFG.icp.max_points)
+    assert rf.planar.shape == (3, CFG.icp.max_planar, 6)
     assert store.frames_done("features", "07") == 3

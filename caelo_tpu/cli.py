@@ -117,7 +117,9 @@ def cmd_odometry(args):
 
         def feature_fn(pts, mask):
             f = ext.features(next(counter))
-            if isinstance(f, tuple):   # keypoints only -> CAE-LO descriptors
+            # keypoints only -> CAE-LO descriptors.  (FrameFeatures is a
+            # NamedTuple, i.e. also a tuple — check for the bare pair.)
+            if isinstance(f, tuple) and not hasattr(f, "_fields"):
                 kp, km = f
                 return features_from_keypoints(
                     encoder, jnp.asarray(pts), jnp.asarray(mask),

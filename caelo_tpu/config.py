@@ -136,12 +136,20 @@ class VoxelConfig:
     # gather temp ((chunk, 8, cap) int32) so a 64-frame window vmap
     # doesn't materialize multi-GB buffers.  0 = one unchunked call.
     patch_query_chunk: int = 128
-    # per-scale supercell-slot capacity for the dense bit-grid patch path
-    # (0 = use the windowed-gather path for that scale).  Coarse scales have
-    # few occupied supercells (measured ~2.4k / ~80 at scales 1/2), so a
-    # dense bit-packed table beats per-candidate gathers ~10x; scale 0 has
-    # ~70k supercells (a 100 MB/frame table) and stays on windowed gather.
-    bitgrid_slots: Tuple[int, int, int] = (0, 6144, 512)
+    # voxelize() returns occupied lists sorted by (supercell id, packed
+    # local coords); with this set the patch-gather paths skip their own
+    # per-scale sort (one fused sort instead of two).  Only disable when
+    # feeding extract_patches a pyramid NOT produced by voxelize.
+    presorted_pyramid: bool = True
+    # per-scale supercell-slot capacity for the bit-grid patch path
+    # (0 = use the windowed-gather path for that scale).  Measured occupied
+    # supercells on KITTI-like scans: ~69k / ~2.4k / ~80 at scales 0/1/2
+    # (occupancy_stats exports the live numbers per run).  The bit table is
+    # slots*256 int32 words (~84 MB/frame at scale 0 — bounded by the
+    # 16-frame production window); scale 0 uses a sorted-unique-id binary
+    # search for its slot lookup instead of the dense id map (which would
+    # be 143 MB/frame there).
+    bitgrid_slots: Tuple[int, int, int] = (81920, 6144, 512)
 
     @property
     def voxel_sizes(self) -> Tuple[float, float, float]:

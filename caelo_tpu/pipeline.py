@@ -100,9 +100,21 @@ def stage_refinement(poses_dj, ref_feats, inlier_pairs, R_tr, t_tr,
         return refine._row(R0 @ np.asarray(dR), R0 @ np.asarray(dt) + t0)
 
     if batched:
-        # Jacobi-style: all keyframe-span ICP solves in two batched passes
+        # Jacobi-style: all keyframe-span ICP solves in two batched passes.
+        # On a multi-device mesh the span axis shards over 'data'
+        # (SURVEY section 2.4 keyframe-span partitioning; bit-identical to
+        # the single-device path — see test_multichip).
+        devs = jax.devices()
+        if len(devs) > 1:
+            from .parallel.mesh import make_mesh
+            from .parallel.pipeline import make_sharded_icp_fn
+
+            mesh = make_mesh(n_data=len(devs), n_model=1, devices=devs)
+            icp_fn = make_sharded_icp_fn(ref_feats, mesh, cfg)
+        else:
+            icp_fn = make_batched_icp_fn(ref_feats, cfg)
         return refine.refine_odometry_batched(
-            poses_dj, make_batched_icp_fn(ref_feats, cfg),
+            poses_dj, icp_fn,
             rel_lidar_fn, apply_rel_fn,
             inlier_idx_pairs=inlier_pairs, cfg=cfg.refine,
         )

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VoxelConfig
-from ..ops.masking import dedup_int_rows
+from ..ops.masking import compact
 
 
 class VoxelPyramid(NamedTuple):
@@ -33,6 +33,32 @@ class VoxelPyramid(NamedTuple):
     coords: tuple       # per scale: (M_s, 3) int32
     masks: tuple        # per scale: (M_s,) bool
     counts: tuple       # per scale: () int32 — number of unique voxels
+
+
+def _supercell_key(c: jnp.ndarray, ok: jnp.ndarray, cfg: VoxelConfig,
+                   scale: int):
+    """(supercell linear id, packed 4-bit local coords) for each voxel —
+    the sort key that makes ONE sort serve both the dedup and the patch
+    stage's supercell grouping.  Returns ``(lin, local, packable)`` where
+    ``packable`` says the pair fits one int32 (``lin*P^3 + local``)."""
+    P = cfg.patch_size
+    pbits = P.bit_length() - 1
+    pmask = P - 1
+    g = cfg.grid_shape(scale)
+    sgy = -(-g[1] // P)
+    sgz = -(-g[2] // P)
+    sgx = -(-g[0] // P)
+    sc = c >> pbits
+    lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
+    local = (((c[:, 0] & pmask) << (2 * pbits))
+             | ((c[:, 1] & pmask) << pbits)
+             | (c[:, 2] & pmask))
+    big = jnp.iinfo(jnp.int32).max
+    lin = jnp.where(ok, lin, big)
+    local = jnp.where(ok, local, big)
+    lbits = 3 * pbits
+    packable = (sgx * sgy * sgz) < (1 << (31 - lbits))
+    return lin, local, packable, lbits
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -47,6 +73,12 @@ def voxelize(pts: jnp.ndarray, mask: jnp.ndarray,
     Scene bounds and scales follow ``Voxel.py:14-52`` (+-100 x +-100 x +-15 m,
     voxel 0.02 m, ratios 1/8/32); out-of-bounds points are dropped
     (``FilterOutTooFarPts``, ``Voxel.py:89-97``).
+
+    The occupied lists come back sorted by (16-aligned supercell id, packed
+    local coords) rather than lexicographically: the same unique set, in the
+    order the patch-gather stage needs — so its per-scale sort disappears
+    (``cfg.presorted_pyramid``), and the dedup sort is a single packed int32
+    key at coarse scales instead of a 3-column row sort.
     """
     p = pts[:, :3]
     half = jnp.array(
@@ -56,12 +88,48 @@ def voxelize(pts: jnp.ndarray, mask: jnp.ndarray,
     shifted = p + half
 
     coords, masks, counts = [], [], []
+    big = jnp.iinfo(jnp.int32).max
+    P = cfg.patch_size
+    pbits = P.bit_length() - 1
+    pmask = P - 1
     for s, vs in enumerate(cfg.voxel_sizes):
         c = jnp.floor(shifted / vs).astype(jnp.int32)
         g = jnp.array(cfg.grid_shape(s), jnp.int32)
         ok = inb & jnp.all((c >= 0) & (c < g), axis=1)
         c = jnp.where(ok[:, None], c, 0)
-        u, m, n = dedup_int_rows(c, ok, cfg.max_voxels[s])
+        gs = cfg.grid_shape(s)
+        sgy = -(-gs[1] // P)
+        sgz = -(-gs[2] // P)
+        lin, local, packable, lbits = _supercell_key(c, ok, cfg, s)
+        # sort + dedup + compact operate on packed KEYS only (1-2 int32
+        # lanes per voxel), never on (N, 3) coordinate rows: row sorts and
+        # row scatters move 3-5 columns and dominate voxelize runtime;
+        # coords are re-derived from the compacted keys with pure vector ops
+        if packable:
+            key = jnp.where(ok, (lin << lbits) | local, big)
+            skey = jnp.sort(key)
+            first = jnp.ones_like(ok).at[1:].set(skey[1:] != skey[:-1])
+            valid = first & (skey != big)
+            ukey, m, n = compact(skey, valid, cfg.max_voxels[s], fill=0)
+            ulin = ukey >> lbits
+            ulocal = ukey & ((1 << lbits) - 1)
+        else:
+            k1, k2 = jax.lax.sort([lin, local], num_keys=2)
+            first = jnp.ones_like(ok).at[1:].set(
+                (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]))
+            valid = first & (k1 != big)
+            upair, m, n = compact(
+                jnp.stack([k1, k2], axis=1), valid, cfg.max_voxels[s], fill=0)
+            ulin, ulocal = upair[:, 0], upair[:, 1]
+        scx = ulin // (sgy * sgz)
+        scy = (ulin // sgz) % sgy
+        scz = ulin % sgz
+        u = jnp.stack([
+            (scx << pbits) | ((ulocal >> (2 * pbits)) & pmask),
+            (scy << pbits) | ((ulocal >> pbits) & pmask),
+            (scz << pbits) | (ulocal & pmask),
+        ], axis=1)
+        u = jnp.where(m[:, None], u, 0)
         coords.append(u)
         masks.append(m)
         counts.append(n)
@@ -175,9 +243,14 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
     local = (((vox[:, 0] & pmask) << (2 * pbits))
              | ((vox[:, 1] & pmask) << pbits)
              | (vox[:, 2] & pmask))                   # (M,) int32
-    order = jnp.argsort(lin)
-    lin_sorted = lin[order]
-    local_sorted = local[order]
+    if cfg.presorted_pyramid:
+        # voxelize() already emitted the list in (supercell, local) order
+        # with padding at the end (masked rows -> lin = int32 max above)
+        lin_sorted, local_sorted = lin, local
+    else:
+        order = jnp.argsort(lin)
+        lin_sorted = lin[order]
+        local_sorted = local[order]
     sg = jnp.array([sgx, sgy, sgz], jnp.int32)
     dx = jnp.arange(2, dtype=jnp.int32)
 
@@ -275,24 +348,52 @@ def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
     lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
     big = jnp.iinfo(jnp.int32).max
     lin = jnp.where(vox_mask, lin, big)
-    lin_sorted = jnp.sort(lin)
-    # dense supercell-id -> slot map (NO searchsorted anywhere: measured
-    # ~600 ns/query on v5e, it dominated the first bitgrid attempt).  The
-    # dense map is small at coarse scales: sgx*sgy*sgz ints (~75k at s1).
+    # voxelize() emits supercell order (cfg.presorted_pyramid); the slot
+    # assignment below only needs lin grouped-and-ascending
+    lin_sorted = lin if cfg.presorted_pyramid else jnp.sort(lin)
     n_ids = sgx * sgy * sgz
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), lin_sorted[1:] != lin_sorted[:-1]])
     is_first &= lin_sorted != big
     slot_of_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1   # (M,)
-    drop = n_ids + jnp.arange(M, dtype=jnp.int32)     # distinct OOB ids
-    slotmap = jnp.full((n_ids,), -1, jnp.int32).at[
-        jnp.where(is_first & (slot_of_sorted < slots), lin_sorted, drop)
-    ].set(jnp.where(is_first, slot_of_sorted, 0), mode="drop",
-          unique_indices=True)
+    # supercell-id -> slot lookup for the (few) query supercells: a dense
+    # map when the supercell grid is small (scales 1-2: ~75k ids); at scale
+    # 0 the dense map would be 36M ids = 143 MB/frame, so instead keep the
+    # sorted unique-id array and binary-search it — only 8 queries per
+    # keypoint with the plane-gather query below (the per-COLUMN
+    # searchsorted that sank the first bitgrid attempt was 512/keypoint)
+    dense_map = n_ids <= (1 << 22)
+    if dense_map:
+        drop = n_ids + jnp.arange(M, dtype=jnp.int32)  # distinct OOB ids
+        slotmap = jnp.full((n_ids,), -1, jnp.int32).at[
+            jnp.where(is_first & (slot_of_sorted < slots), lin_sorted, drop)
+        ].set(jnp.where(is_first, slot_of_sorted, 0), mode="drop",
+              unique_indices=True)
 
-    # build the bit table: word = slot*P*P + lx*P + ly, bit = lz
-    vslot = slotmap[jnp.clip(lin, 0, n_ids - 1)]      # (M,) slot per voxel
-    vslot = jnp.where(vox_mask & (vslot >= 0), vslot, slots)
+        def lookup(qid, ok):
+            s = slotmap[jnp.clip(jnp.where(ok, qid, 0), 0, n_ids - 1)]
+            return jnp.where(ok & (s >= 0), s, slots)
+    else:
+        drop = slots + jnp.arange(M, dtype=jnp.int32)
+        uids = jnp.full((slots + M,), big, jnp.int32).at[
+            jnp.where(is_first & (slot_of_sorted < slots),
+                      slot_of_sorted, drop)
+        ].set(lin_sorted, mode="drop", unique_indices=True)[:slots]
+
+        def lookup(qid, ok):
+            pos = jnp.searchsorted(uids, qid).astype(jnp.int32)
+            hit = ok & (pos < slots) & (
+                uids[jnp.clip(pos, 0, slots - 1)] == qid)
+            return jnp.where(hit, pos, slots)
+
+    # build the bit table: word = slot*P*P + lx*P + ly, bit = lz.  With a
+    # presorted pyramid each voxel's slot is its run's rank directly — no
+    # map gather needed
+    if cfg.presorted_pyramid:
+        vslot = jnp.where(vox_mask & (slot_of_sorted < slots),
+                          slot_of_sorted, slots)
+    else:
+        vslot = lookup(lin, vox_mask)
     word_idx = (vslot * (P * P) + (vox[:, 0] & pmask) * P
                 + (vox[:, 1] & pmask))
     bits = jnp.where(vox_mask, jnp.int32(1) << (vox[:, 2] & pmask), 0)
@@ -300,43 +401,47 @@ def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
         jnp.where(word_idx < slots * P * P, word_idx, slots * P * P)
     ].add(bits, mode="drop")                          # bit-or via add
 
-    # ---- query: per keypoint, 16x16 columns x 2 straddled z-words
+    # ---- query: gather the 2x2x2 covering supercells' WHOLE word planes
+    # (8 contiguous 256-word row gathers per keypoint), then align with
+    # shifts/slices on the VPU.  The per-column formulation this replaces
+    # did 4 independent element gathers per (keypoint, column) = ~1M
+    # scattered int32 gathers per frame at ~10 ns each — gather count, not
+    # bytes, is what the measurement said dominates (ROADMAP r3).
     ox = kv - R                                       # (K, 3) window origin
+    o = ox & pmask                                    # (K, 3) offset in cell A
+    sA = ox >> pbits                                  # (K, 3) first supercell
     rng_ = jnp.arange(P, dtype=jnp.int32)
-    ax = ox[:, 0, None] + rng_[None]                  # (K, P) abs x per px
-    ay = ox[:, 1, None] + rng_[None]
-    sx = ax >> pbits
-    sy = ay >> pbits
-    lx = ax & pmask
-    ly = ay & pmask
-    okx = (ax >= 0) & (ax < g[0])
-    oky = (ay >= 0) & (ay < g[1])
-    # z: window [oz, oz+P) straddles supercells sz0, sz0+1 at offset lz0
-    oz = ox[:, 2]
-    sz0 = oz >> pbits
-    lz0 = oz & pmask
-    # per-column supercell ids, vectorized over the P x P columns
-    sxx = sx[:, :, None]                              # (K, P, 1)
-    syy = sy[:, None, :]                              # (K, 1, P)
-    okc = okx[:, :, None] & oky[:, None, :] & key_mask[:, None, None]
-    base_id = sxx * (sgy * sgz) + syy * sgz           # (K, P, P)
-    idA = base_id + sz0[:, None, None]
-    idB = base_id + sz0[:, None, None] + 1
-    okA = okc & (sz0[:, None, None] >= 0) & (sz0[:, None, None] < sgz)
-    okB = okc & (sz0[:, None, None] + 1 >= 0) & (sz0[:, None, None] + 1 < sgz)
-    slotA = slotmap[jnp.clip(jnp.where(okA, idA, 0), 0, n_ids - 1)]
-    slotB = slotmap[jnp.clip(jnp.where(okB, idB, 0), 0, n_ids - 1)]
-    exA = okA & (slotA >= 0)
-    exB = okB & (slotB >= 0)
-    lxy = lx[:, :, None] * P + ly[:, None, :]         # (K, P, P)
-    wA = jnp.where(
-        exA, table[jnp.clip(slotA * (P * P) + lxy, 0, slots * P * P - 1)], 0)
-    wB = jnp.where(
-        exB, table[jnp.clip(slotB * (P * P) + lxy, 0, slots * P * P - 1)], 0)
-    shift = lz0[:, None, None]
+    dx = jnp.arange(2, dtype=jnp.int32)
+    nb = (sA[:, None, None, None, :]
+          + jnp.stack(jnp.meshgrid(dx, dx, dx, indexing="ij"),
+                      axis=-1)[None])                 # (K, 2, 2, 2, 3)
+    sgv = jnp.array([sgx, sgy, sgz], jnp.int32)
+    okb = jnp.all((nb >= 0) & (nb < sgv), axis=-1) \
+        & key_mask[:, None, None, None]
+    nlin = nb[..., 0] * (sgy * sgz) + nb[..., 1] * sgz + nb[..., 2]
+    slot = lookup(nlin, okb)                          # slots = zero plane
+    table2 = jnp.concatenate(
+        [table, jnp.zeros((P * P,), jnp.int32)]).reshape(slots + 1, P, P)
+    planes = table2[slot]                             # (K, 2,2,2, P, P)
+
+    # z: combine the two z-adjacent planes into 16-bit windows per column
+    shift = (ox[:, 2] & pmask)[:, None, None, None, None]
+    wA = planes[:, :, :, 0]                           # (K, 2, 2, P, P)
+    wB = planes[:, :, :, 1]
     win = ((wA >> shift) | jnp.where(shift > 0, wB << (P - shift), 0)
-           ) & ((1 << P) - 1)                         # (K, P, P) 16 z-bits
-    occ = ((win[..., None] >> rng_[None, None, None, :]) & 1
+           ) & ((1 << P) - 1)                         # (K, 2, 2, P, P)
+    # x: concatenate the two x-supercells and slice the window's 16 rows
+    winx = jnp.concatenate([win[:, 0], win[:, 1]], axis=2)  # (K, 2, 2P, P)
+    zero = jnp.int32(0)
+    winx = jax.vmap(
+        lambda a, s: jax.lax.dynamic_slice(a, (zero, s, zero), (2, P, P))
+    )(winx, o[:, 0])                                  # (K, 2, P, P)
+    # y: same along the ly axis
+    winy = jnp.concatenate([winx[:, 0], winx[:, 1]], axis=2)  # (K, P, 2P)
+    winy = jax.vmap(
+        lambda a, s: jax.lax.dynamic_slice(a, (zero, s), (P, P))
+    )(winy, o[:, 1])                                  # (K, P, P)
+    occ = ((winy[..., None] >> rng_[None, None, None, :]) & 1
            ).astype(jnp.float32)                      # (K, P, P, P)
     return occ
 

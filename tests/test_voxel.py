@@ -33,7 +33,17 @@ def test_voxelize_matches_numpy_unique(rng):
         )
         assert int(pyr.counts[s]) == ref.shape[0]
         got = np.asarray(pyr.coords[s])[np.asarray(pyr.masks[s])]
-        np.testing.assert_array_equal(got, ref)
+        # same unique set; the device list is in (supercell, local) order
+        # (the patch stage's grouping), not np.unique's lexicographic order
+        got_lex = got[np.lexsort(got.T[::-1])]
+        np.testing.assert_array_equal(got_lex, ref)
+        # and the advertised supercell ordering actually holds
+        P = CFG.patch_size
+        g = CFG.grid_shape(s)
+        sgy, sgz = -(-g[1] // P), -(-g[2] // P)
+        sc = got >> 4
+        lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
+        assert np.all(np.diff(lin) >= 0)
 
 
 def test_voxelize_filters_out_of_bounds(rng):

@@ -127,12 +127,25 @@ def backward_update(poses, frame0, frame1, new_pose, rel_Rs, rel_ts):
     return poses, rel_Rs, rel_ts
 
 
-def fix_jump_poses(poses, cfg: RefineConfig = RefineConfig()):
+def fix_jump_poses(poses, cfg: RefineConfig = RefineConfig(),
+                   pair_trusted=None):
     """De-jump a trajectory (``FixJumpPoses``, ``RefinePoses.py:233-262``).
 
     A jump is a frame where the relative motion changes by more than
     ``jump_euler_deg`` / ``jump_trans_m`` w.r.t. the previous step; it is
     replaced by constant-velocity propagation and the chain re-run.
+
+    Args:
+      pair_trusted: optional ``(N-1,)`` bool — per-pair evidence from the
+        front end (RANSAC success with a healthy inlier count).  When
+        given, a motion discontinuity on a TRUSTED pair is NOT treated as
+        a jump: a well-supported registration that changes the motion is a
+        real turn, and replacing it with constant velocity injects error.
+        The reference has no such gate (its threshold test alone fires on
+        legitimate 20 deg/s turn entries, which sit exactly at the 2 deg
+        default); measured on the hard circuit benchmark the ungated
+        de-jump made ATE *worse* (2.89 -> 5.99 m).  ``None`` reproduces
+        the reference behavior exactly.
     """
     poses = np.asarray(poses, np.float64).copy()
     fixed = []
@@ -144,6 +157,8 @@ def fix_jump_poses(poses, cfg: RefineConfig = RefineConfig()):
     # sequence instead of O(N^2).
     eul = np.array([_euler_deg(R) for R in rel_Rs])
     for i in range(2, len(poses) - 1):
+        if pair_trusted is not None and bool(pair_trusted[i - 1]):
+            continue
         d_eul = np.linalg.norm(np.abs(eul[i - 1]) - np.abs(eul[i - 2]))
         d_t = np.linalg.norm(np.abs(rel_ts[i - 1]) - np.abs(rel_ts[i - 2]))
         if d_eul > cfg.jump_euler_deg or d_t > cfg.jump_trans_m:
@@ -195,6 +210,9 @@ class RefineStats:
     refined: List = dataclasses.field(default_factory=list)
     failed: List = dataclasses.field(default_factory=list)
     rejected: List = dataclasses.field(default_factory=list)
+    # spans left untouched because every odometry pair in them was trusted
+    # (successful high-inlier registration) — see RefineConfig
+    skipped: List = dataclasses.field(default_factory=list)
 
 
 def refine_odometry(poses, icp_fn: Callable, rel_lidar_fn: Callable,
@@ -273,10 +291,20 @@ def plan_spans(poses_len: int, inlier_idx_pairs: Sequence | None,
     return spans
 
 
+def span_trusted_pre(span, pair_trusted, cfg: RefineConfig) -> bool:
+    """True when every odometry pair inside ``span`` is trusted (and
+    ``cfg.skip_trusted_spans`` is on)."""
+    if pair_trusted is None or not cfg.skip_trusted_spans:
+        return False
+    i, j = span
+    return bool(np.all(np.asarray(pair_trusted[i:j], bool)))
+
+
 def refine_odometry_batched(poses, batched_icp_fn: Callable,
                             rel_lidar_fn: Callable, apply_rel_fn: Callable,
                             inlier_idx_pairs: Sequence | None = None,
-                            cfg: RefineConfig = RefineConfig()):
+                            cfg: RefineConfig = RefineConfig(),
+                            pair_trusted=None):
     """Jacobi-style batched refinement: identical decisions to
     ``refine_odometry`` on its accept path, with the expensive hybrid-ICP
     solves batched across ALL keyframe spans in two device passes.
@@ -305,6 +333,16 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
     rel_Rs, rel_ts = _all_rels(poses)
     stats = RefineStats()
     spans = plan_spans(len(poses), inlier_idx_pairs, cfg.max_transfer_frames)
+    # Trusted spans are left untouched: below the sensor's resampling floor
+    # ICP has no unbiased signal (the resampled surfaces genuinely align
+    # better at a slightly wrong pose), so "corrections" there inject
+    # compounding rotation error (measured on the hard benchmark: ATE
+    # 0.32 m raw -> 2-11 m after refining trusted spans, depending on
+    # gates).  Refinement's real job — rescuing spans whose odometry pairs
+    # failed or were weak — is untouched.
+    skipped = [s for s in spans if span_trusted_pre(s, pair_trusted, cfg)]
+    spans = [s for s in spans if not span_trusted_pre(s, pair_trusted, cfg)]
+    stats.skipped.extend(skipped)
     if not spans:
         return poses, stats
 
@@ -339,7 +377,9 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
             accepted[j] = (i, *res)
             stats.refined.append((i, j))
         elif j - i > 1:
-            fallback_steps.extend((a, a + 1) for a in range(i, j))
+            fallback_steps.extend(
+                (a, a + 1) for a in range(i, j)
+                if not span_trusted_pre((a, a + 1), pair_trusted, cfg))
         else:
             (stats.failed if not bool(oks[k]) else stats.rejected).append((i, j))
 

@@ -204,7 +204,16 @@ def cmd_refine(args):
 
     cfg = PipelineConfig()
     poses = np.loadtxt(args.poses).reshape(-1, 12)
-    fixed, frames = fix_jump_poses(poses, cfg.refine)
+    trusted = None
+    if args.artifacts:
+        # use the stored per-pair RANSAC evidence to gate jump detection
+        # (trusted high-inlier registrations are real motion, not jumps)
+        from .data.artifacts import ArtifactStore
+        from .pipeline import load_stage_inputs
+
+        data = load_stage_inputs(ArtifactStore(args.artifacts), args.seq)
+        trusted = data["successes"]
+    fixed, frames = fix_jump_poses(poses, cfg.refine, pair_trusted=trusted)
     out_dj = args.out or args.poses.replace("poses_", "poses__")
     os.makedirs(os.path.dirname(out_dj) or ".", exist_ok=True)
     np.savetxt(out_dj, fixed)
@@ -212,13 +221,11 @@ def cmd_refine(args):
     if not args.artifacts:
         return 0
 
-    from .data.artifacts import ArtifactStore
-    from .pipeline import load_stage_inputs, stage_refinement
+    from .pipeline import stage_refinement
 
-    data = load_stage_inputs(ArtifactStore(args.artifacts), args.seq)
     poses_ref, stats = stage_refinement(
         fixed, data["ref_feats"], data["inlier_pairs"],
-        data["R_tr"], data["t_tr"], cfg,
+        data["R_tr"], data["t_tr"], cfg, pair_trusted=data["successes"],
     )
     out_ref = out_dj.replace("poses__", "poses___")
     np.savetxt(out_ref, poses_ref)

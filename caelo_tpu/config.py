@@ -91,6 +91,17 @@ class KeypointConfig:
     norm_diff_threshold: float = 0.2
     extend_radius: int = 6           # 13x13 window for extended keypoints
     max_extended: int = 32768        # fixed-size buffer for extended keypoints
+    # Ground-speckle suppression (see ops/nms.py): candidates below this
+    # sensor-frame height are keypoints only if their 5x5 window's vertical
+    # extent exceeds ground_extent_m.  The beam rings on near-flat ground
+    # are sensor-locked (each frame samples different physical points at
+    # the same sensor-relative spot), so salient speckle there biases the
+    # consensus translation toward zero.  A surface-normal (|n_z|) gate was
+    # measured strictly worse at 520-frame scale (it also removes the
+    # rotation-stabilizing horizontal structure above sensor-ground level).
+    # <= -100 disables (parity with the reference, which has no such gate).
+    ground_z_max: float = -1.2
+    ground_extent_m: float = 0.3
     # Use the fused Pallas saliency kernel (ops/pallas_nms.py).  It runs the
     # stencil in 0.04 ms/frame (44,000x the reference cupy kernel) but costs
     # ~3.5 min of Mosaic compile for the full sensor shape — one-time: the
@@ -208,6 +219,11 @@ class RansacConfig:
     residual_thresholds: Tuple[float, float, float] = (0.4, 0.8, 1.6)
     min_inlier_abs: int = 100
     min_inlier_frac: float = 0.2
+    # Post-refit tightening iterations: re-gate inliers at the smallest
+    # rung the refit pose supports and refit again.  Recovers from ladder
+    # escalation admitting consistently-displaced matches (moving objects)
+    # into the refit; 0 = reference behavior (single refit, Match.py:280-283).
+    refit_iters: int = 2
     # Hypotheses are sampled from the best `sample_top_frac` of pairs by
     # descriptor distance (residuals still evaluated on ALL pairs).  The
     # reference samples uniformly from up to 500 sequential trials
@@ -244,6 +260,15 @@ class RefineConfig:
     jump_trans_m: float = 0.5
     accept_euler_deg: float = 10.0   # refinement acceptance (RefinePoses.py:309)
     accept_trans_m: float = 5.0
+    # Skip refinement entirely for spans whose odometry pairs were all
+    # TRUSTED (successful high-inlier registrations): below the sensor's
+    # resampling floor ICP has no unbiased signal — correspondences between
+    # sensor-locked resamplings of the same surfaces genuinely align better
+    # at a slightly wrong pose, so "corrections" inject compounding
+    # rotation error (measured: ATE 0.32 m raw -> 2-11 m refined on the
+    # hard benchmark).  Untrusted spans — refinement's real job — keep the
+    # reference gates above.  False = reference behavior (refine all).
+    skip_trusted_spans: bool = True
     max_transfer_frames: int = 20    # keyframe chain cap (RefinePoses.py:374-400)
 
 
@@ -257,6 +282,18 @@ class PipelineConfig:
     refine: RefineConfig = RefineConfig()
     max_points: int = 131072         # padded scan size (KITTI ~120k pts)
     descriptor_dim: int = 60         # 3 scales x 20-dim code
+    # Physical-plausibility gate on accepted relative poses: a per-pair
+    # motion beyond these bounds is impossible for a road vehicle at scan
+    # rate (10 Hz: 40 deg/frame = 400 deg/s, 6 m/frame = 216 km/h), so a
+    # "successful" registration violating them is a consensus on aliased
+    # structure; it is demoted to a failure (constant-velocity fallback +
+    # refinement rescue).  0 disables.
+    max_rel_rot_deg: float = 40.0
+    max_rel_trans_m: float = 6.0
+    # Lowe-style match distinctiveness gate: a frame-1 keypoint's best
+    # frame-0 match is kept only if best_dist <= ratio * second_best_dist.
+    # 0 disables (reference parity: plain argmin, Match.py:257-263).
+    match_ratio: float = 0.0
     # Motion-prior fallback: when a pair fails plain registration, retry with
     # candidate matches gated to this radius (m) around the constant-velocity
     # prediction (GenerateTrajactory.m:210 semantics).  0 disables.

@@ -21,7 +21,7 @@ def squared_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def match_descriptors(codes0, mask0, codes1, mask1,
                       pts0=None, pts1=None, prior_R=None, prior_t=None,
-                      gate_m: float = 0.0):
+                      gate_m: float = 0.0, ratio: float = 0.0):
     """For each frame-1 keypoint, the nearest frame-0 descriptor.
 
     Mirrors ``Match.py:257-263``: ``argmin`` over frame-0 codes per frame-1
@@ -50,4 +50,15 @@ def match_descriptors(codes0, mask0, codes1, mask1,
     pair_idx = jnp.argmin(d2, axis=0)
     pair_d2 = jnp.take_along_axis(d2, pair_idx[None, :], axis=0)[0]
     pair_mask = mask1 & jnp.isfinite(pair_d2)
+    if ratio > 0.0:
+        # Lowe-style distinctiveness gate: reject a match whose runner-up
+        # descriptor distance is nearly as good — ambiguous features
+        # (range-noise speckle on smooth surfaces, repetitive structure)
+        # produce near-tied matches that vote for a sensor-locked zero
+        # displacement and bias the consensus translation.  The reference's
+        # plain argmin matching has no such gate (Match.py:257-263).
+        neg2, _ = jax.lax.top_k(-d2.T, 2)              # (K1, 2)
+        second = -neg2[:, 1]
+        distinct = pair_d2 <= (ratio * ratio) * second
+        pair_mask = pair_mask & (distinct | ~jnp.isfinite(second))
     return pair_idx, pair_mask, jnp.sqrt(jnp.where(pair_mask, pair_d2, 0.0))

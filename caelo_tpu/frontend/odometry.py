@@ -79,6 +79,13 @@ def run_odometry(scans: Iterable, respond_params, encoder_params,
                 ok = bool(reg.success)
             R = np.asarray(reg.R, np.float64)
             t = np.asarray(reg.t, np.float64)
+            if ok and cfg.max_rel_rot_deg > 0:
+                # physical-plausibility gate (config.max_rel_rot_deg)
+                ang = np.degrees(np.arccos(np.clip(
+                    (np.trace(R) - 1.0) / 2.0, -1.0, 1.0)))
+                if (ang > cfg.max_rel_rot_deg
+                        or np.linalg.norm(t) > cfg.max_rel_trans_m):
+                    ok = False
             if not ok:
                 R, t = prevR, prevT  # constant-velocity fallback
             inl = np.asarray(reg.inlier_mask)
@@ -175,7 +182,17 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
             g = start + k
             rel_Rs[g] = R_all[k]
             rel_ts[g] = t_all[k]
-            succ[g] = bool(s_all[k])
+            ok = bool(s_all[k])
+            if ok and cfg.max_rel_rot_deg > 0:
+                # physical-plausibility gate (config.max_rel_rot_deg): a
+                # per-pair motion impossible at scan rate is an aliased
+                # consensus, not a success
+                ang = np.degrees(np.arccos(np.clip(
+                    (np.trace(R_all[k]) - 1.0) / 2.0, -1.0, 1.0)))
+                if (ang > cfg.max_rel_rot_deg
+                        or np.linalg.norm(t_all[k]) > cfg.max_rel_trans_m):
+                    ok = False
+            succ[g] = ok
             n_inl[g] = int(ni_all[k])
             ths[g] = float(th_all[k])
             m = inl_mask[k]

@@ -148,6 +148,7 @@ def _register(key, f0, f1, cfg, prior_R=None, prior_t=None,
         f0.descriptors, f0.mask, f1.descriptors, f1.mask,
         pts0=f0.key_pts, pts1=f1.key_pts,
         prior_R=prior_R, prior_t=prior_t, gate_m=gate_m,
+        ratio=cfg.match_ratio,
     )
     pairs0 = f0.key_pts[pair_idx]
     pairs1 = f1.key_pts

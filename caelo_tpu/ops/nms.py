@@ -93,6 +93,42 @@ def select_keypoints(image: jnp.ndarray, counter: jnp.ndarray,
         & jnp.isfinite(min_d2)
     )
 
+    if kp.ground_z_max > -100.0:
+        # Ground-speckle suppression (beyond the reference): the beam rings
+        # on near-flat ground are sensor-locked — they sample DIFFERENT
+        # physical points each frame at the SAME sensor-relative position,
+        # so salient range-noise speckle there matches itself at zero
+        # displacement and votes the consensus translation toward zero
+        # (measured: 152/159 inliers at ground height with est |t| 0.2 m vs
+        # true 1.1 m on the hard benchmark).  A candidate below
+        # ``ground_z_max`` is kept only if its 5x5 window has real vertical
+        # structure (z extent > ``ground_extent_m``) — curbs, poles, and
+        # wall bases survive; flat-ground speckle does not.  The ground
+        # still serves the refinement stage through the planar/normal
+        # channel, where point-to-plane treats it correctly.
+        # (An |n_z|-based horizontal-surface gate was measured strictly
+        # worse at 520-frame scale — 73.8% -> 20-29% success: horizontal
+        # surfaces ABOVE sensor-ground level stabilize rotation and must
+        # stay; see ROADMAP r3.)
+        z = image[:H, :W, 2] * occ.astype(image.dtype)
+        zrad = kp.window // 2
+        zpad = jnp.pad(z, ((zrad, zrad), (zrad, zrad)))
+        opad_z = jnp.pad(occ, ((zrad, zrad), (zrad, zrad)))
+        zmin = jnp.full((H, W), jnp.inf, jnp.float32)
+        zmax = jnp.full((H, W), -jnp.inf, jnp.float32)
+        for dy in range(-zrad, zrad + 1):
+            for dx in range(-zrad, zrad + 1):
+                nz = jax.lax.dynamic_slice(
+                    zpad, (zrad + dy, zrad + dx), (H, W))
+                no = jax.lax.dynamic_slice(opad_z, (zrad + dy, zrad + dx),
+                                           (H, W))
+                zmin = jnp.minimum(zmin, jnp.where(no, nz, jnp.inf))
+                zmax = jnp.maximum(zmax, jnp.where(no, nz, -jnp.inf))
+        zext = jnp.where(jnp.isfinite(zmin) & jnp.isfinite(zmax),
+                         zmax - zmin, 0.0)
+        low = image[:H, :W, 2] < kp.ground_z_max
+        good = good & (~low | (zext > kp.ground_extent_m))
+
     score = jnp.where(good, saliency, -jnp.inf).reshape(-1)
     vals, idx = jax.lax.top_k(score, kp.n_keypoints)
     key_mask = jnp.isfinite(vals)

@@ -79,7 +79,8 @@ def extract_refinement_features_batched(scans, respond_params,
 
 
 def stage_refinement(poses_dj, ref_feats, inlier_pairs, R_tr, t_tr,
-                     cfg: PipelineConfig, batched: bool = True):
+                     cfg: PipelineConfig, batched: bool = True,
+                     pair_trusted=None):
     """Keyframe-transfer ICP refinement: poses__ -> poses___
     (``RefineOdometry``, ``RefinePoses.py:338-464``)."""
     def rel_lidar_fn(p0, p1):
@@ -117,6 +118,7 @@ def stage_refinement(poses_dj, ref_feats, inlier_pairs, R_tr, t_tr,
             poses_dj, icp_fn,
             rel_lidar_fn, apply_rel_fn,
             inlier_idx_pairs=inlier_pairs, cfg=cfg.refine,
+            pair_trusted=pair_trusted,
         )
     return refine.refine_odometry(
         poses_dj, make_icp_fn(ref_feats, cfg), rel_lidar_fn,
@@ -348,9 +350,12 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
                     pair_success_rate=float(odo.successes.mean()),
                     mean_inliers=float(odo.n_inliers.mean()))
 
-    # ---- stage 2: de-jump (FixJumpPoses)
+    # ---- stage 2: de-jump (FixJumpPoses), gated on the front end's own
+    # per-pair evidence: successful high-inlier registrations are real
+    # motion, not jumps (see fix_jump_poses docstring)
     with timer.stage("dejump"):
-        poses_dj, dejumped = refine.fix_jump_poses(poses_raw, cfg.refine)
+        poses_dj, dejumped = refine.fix_jump_poses(
+            poses_raw, cfg.refine, pair_trusted=odo.successes)
     if metrics:
         metrics.log("dejump", fixed=len(dejumped))
 
@@ -361,7 +366,7 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         with timer.stage("refine"):
             poses_ref, stats = stage_refinement(
                 poses_dj, ref_feats, odo.inlier_pairs, R_tr, t_tr, cfg,
-                batched=batched_refine,
+                batched=batched_refine, pair_trusted=odo.successes,
             )
         if metrics:
             metrics.log("refine", refined=len(stats.refined),

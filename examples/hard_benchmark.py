@@ -65,24 +65,42 @@ def main():
     errs = relative_pose_errors(poses_gt, result.poses_raw, R_tr, t_tr)
     summary = registration_summary(errs)
     ate_raw = absolute_trajectory_error(poses_gt, result.poses_raw)
+    ate_dj = absolute_trajectory_error(poses_gt, result.poses_dejumped)
+    ate_ref = absolute_trajectory_error(poses_gt, result.poses_refined)
     ate_final = absolute_trajectory_error(poses_gt, result.poses_final)
+    rre = np.asarray(errs.rre_deg)
+    rte = np.asarray(errs.rte_m)
     out = {
         "frames": args.frames,
         "rre_deg": summary["rre_deg"],
         "rte_m": summary["rte_m"],
+        "rre_p50": float(np.percentile(rre, 50)),
+        "rre_p90": float(np.percentile(rre, 90)),
+        "rre_max": float(rre.max()),
+        "rte_p50": float(np.percentile(rte, 50)),
+        "rte_p90": float(np.percentile(rte, 90)),
+        "rte_max": float(rte.max()),
         "success_rate": summary["success_rate"],
         "pair_success_frontend": float(result.odometry.successes.mean()),
         "ate_raw_m": ate_raw["ate_rmse"],
+        "ate_dejumped_m": ate_dj["ate_rmse"],
+        "ate_refined_m": ate_ref["ate_rmse"],
         "ate_final_m": ate_final["ate_rmse"],
         "n_loop_closures": int(result.n_loop_closures),
         "dejumped": len(result.dejumped_frames),
         "stage_seconds": timer.summary(),
+        "per_pair_rre_deg": [round(float(v), 5) for v in rre],
+        "per_pair_rte_m": [round(float(v), 5) for v in rte],
     }
     if not args.no_loop and result.n_loop_closures > 0:
         pr = loop_closure_pr(result.loop_edge_i, result.loop_edge_j,
                              poses_gt.reshape(-1, 3, 4)[:, :, 3])
         out["loop_precision"] = pr["precision"]
         out["loop_recall"] = pr["recall"]
+        out["loop_edges"] = [
+            [int(a), int(b)] for a, b in
+            zip(result.loop_edge_i, result.loop_edge_j)
+        ]
     print(json.dumps(out, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:

@@ -67,12 +67,13 @@ def test_staged_reproduces_full_pipeline(tmp_path):
     # back end purely from artifacts (no scans in scope)
     data = load_stage_inputs(store, "00")
     assert data["n_frames"] == len(scans)
-    poses_dj, dejumped = refine.fix_jump_poses(odo.poses, CFG.refine)
+    poses_dj, dejumped = refine.fix_jump_poses(
+        odo.poses, CFG.refine, pair_trusted=data["successes"])
     np.testing.assert_allclose(poses_dj, full.poses_dejumped, atol=1e-12)
 
     poses_ref, stats = stage_refinement(
         poses_dj, data["ref_feats"], data["inlier_pairs"],
-        data["R_tr"], data["t_tr"], CFG,
+        data["R_tr"], data["t_tr"], CFG, pair_trusted=data["successes"],
     )
     np.testing.assert_allclose(poses_ref, full.poses_refined, atol=1e-9)
     assert len(stats.refined) == len(full.refine_stats.refined)

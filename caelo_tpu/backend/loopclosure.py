@@ -112,7 +112,8 @@ def detect_and_close(features, register_fn: Callable = None,
                      dedup_window: int = 10,
                      use_scan_context: bool = False,
                      sc_min_score: float = 0.25,
-                     register_batch_fn: Callable = None) -> LoopClosures:
+                     register_batch_fn: Callable = None,
+                     edge_gate_fn: Callable = None) -> LoopClosures:
     """Full loop-closure pass over a sequence's FrameFeatures.
 
     Args:
@@ -133,6 +134,11 @@ def detect_and_close(features, register_fn: Callable = None,
         accepted set is identical to the sequential path (acceptance of one
         candidate never changes another's verification result; dedup is
         applied to the batched results in the same score order).
+      edge_gate_fn: optional ``(i, j, R, t) -> bool`` — a final plausibility
+        gate on a geometrically-verified candidate (e.g. the drift-bound
+        consistency check in ``pipeline.stage_loop_closure``: a loop
+        correction larger than plausible odometry drift over the i..j path
+        is a registration between look-alike places, not a revisit).
 
     Returns loop edges mapping frame j into frame i (the front-end's
     relative-pose convention), weighted by inlier count.
@@ -192,6 +198,8 @@ def detect_and_close(features, register_fn: Callable = None,
         else:
             R, t, ok, n_inl = register_fn(int(i), int(j))
         if not ok:
+            continue
+        if edge_gate_fn is not None and not edge_gate_fn(int(i), int(j), R, t):
             continue
         seen.append((int(i), int(j)))
         ei.append(int(i))

@@ -32,19 +32,39 @@ class RegistrationErrors(NamedTuple):
 
 def relative_pose_errors(poses_gt, poses_est, R_tr, t_tr) -> RegistrationErrors:
     """Frame-to-frame lidar-frame relative-pose errors between two
-    trajectories (both as (N, 12) KITTI rows)."""
-    def rels(poses):
-        return rel_pose_lidar(poses[:-1], poses[1:], R_tr, t_tr)
+    trajectories (both as (N, 12) KITTI rows).
 
-    Rg, tg = rels(jnp.asarray(poses_gt))
-    Re, te = rels(jnp.asarray(poses_est))
+    Host float64 numpy, deliberately: evaluation must not run through the
+    TPU's bf16 matmul passes (default f32 precision), which quantize the
+    pose products by ~0.4% and injected ~0.3 m / ~0.4 deg of APPARENT
+    per-pair error at 520-frame scale (see chain_poses docstring)."""
+    def rels(poses):
+        P = np.asarray(poses, np.float64).reshape(-1, 3, 4)
+        Rtr = np.asarray(R_tr, np.float64)
+        ttr = np.asarray(t_tr, np.float64)
+        # cam rel: inv(P0) @ P1; conjugate into lidar: Tr^-1 rel Tr
+        R0, t0 = P[:-1, :, :3], P[:-1, :, 3]
+        R1, t1 = P[1:, :, :3], P[1:, :, 3]
+        Rc = np.einsum("nji,njk->nik", R0, R1)
+        tc = np.einsum("nji,nj->ni", R0, t1 - t0)
+        Rl = np.einsum("ji,njk,kl->nil", Rtr, Rc, Rtr)
+        tl = np.einsum("ji,nj->ni", Rtr, np.einsum("nij,j->ni", Rc, ttr)
+                       + tc - ttr)
+        return Rl, tl
+
+    Rg, tg = rels(poses_gt)
+    Re, te = rels(poses_est)
     # errorR = inv(R_est) @ R_gt, expressed as XYZ Euler degrees
-    errR = jnp.swapaxes(Re, -1, -2) @ Rg
-    euler_err = se3.rotmat_to_euler_xyz_deg(errR)
+    errR = np.einsum("nji,njk->nik", Re, Rg)
+    ay = np.degrees(np.arctan2(-errR[:, 2, 0],
+                               np.hypot(errR[:, 2, 1], errR[:, 2, 2])))
+    ax = np.degrees(np.arctan2(errR[:, 2, 1], errR[:, 2, 2]))
+    az = np.degrees(np.arctan2(errR[:, 1, 0], errR[:, 0, 0]))
+    euler_err = np.stack([ax, ay, az], axis=1)
     t_err = te - tg
     return RegistrationErrors(
-        rre_deg=jnp.sum(jnp.abs(euler_err), axis=-1),
-        rte_m=jnp.linalg.norm(t_err, axis=-1),
+        rre_deg=np.sum(np.abs(euler_err), axis=-1),
+        rte_m=np.linalg.norm(t_err, axis=-1),
         euler_err=euler_err,
         t_err=t_err,
     )
@@ -90,18 +110,24 @@ def registration_summary(errors: RegistrationErrors,
 
 
 def absolute_trajectory_error(poses_gt, poses_est) -> dict:
-    """ATE on trajectory translations (after Horn alignment of the two
+    """ATE on trajectory translations (after rigid alignment of the two
     trajectories — the standard SLAM ATE; the reference plots trajectories
-    but never computes ATE, the driver's north star requires it)."""
-    _, tg = poses_to_rt(jnp.asarray(poses_gt))
-    _, te = poses_to_rt(jnp.asarray(poses_est))
-    R, t = se3.solve_rigid_horn(tg[None], te[None])
-    te_aligned = se3.apply(R[0], t[0], te[None])[0]
-    err = jnp.linalg.norm(te_aligned - tg, axis=-1)
+    but never computes ATE, the driver's north star requires it).
+
+    Host float64 (same rationale as ``relative_pose_errors``)."""
+    tg = np.asarray(poses_gt, np.float64).reshape(-1, 3, 4)[:, :, 3]
+    te = np.asarray(poses_est, np.float64).reshape(-1, 3, 4)[:, :, 3]
+    mg, me = tg.mean(0), te.mean(0)
+    H = (te - me).T @ (tg - mg)
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ D @ U.T
+    te_aligned = (te - me) @ R.T + mg
+    err = np.linalg.norm(te_aligned - tg, axis=-1)
     return {
-        "ate_rmse": float(jnp.sqrt(jnp.mean(err**2))),
-        "ate_mean": float(jnp.mean(err)),
-        "ate_max": float(jnp.max(err)),
+        "ate_rmse": float(np.sqrt(np.mean(err**2))),
+        "ate_mean": float(np.mean(err)),
+        "ate_max": float(np.max(err)),
     }
 
 

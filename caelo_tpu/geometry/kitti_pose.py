@@ -63,14 +63,17 @@ def lidar_rel_to_cam(relR, relT, R_tr, t_tr):
     return se3.compose(R_tr, t_tr, R, t)
 
 
-def chain_poses(rel_Rs: jnp.ndarray, rel_ts: jnp.ndarray, R_tr, t_tr,
-                pose0: jnp.ndarray | None = None) -> jnp.ndarray:
+def chain_poses(rel_Rs, rel_ts, R_tr, t_tr, pose0=None):
     """Chain per-frame lidar relative motions into KITTI pose rows.
 
-    Replaces the sequential consumer loop of ``PoseEstimation.py:254-267``
-    with a ``lax.associative_scan`` over 4x4 homogeneous matrices — the pose
-    chain is a prefix product, so on TPU it runs in O(log N) depth instead of
-    a Python loop.
+    Host float64 numpy, deliberately: the chain is a prefix product of
+    thousands of 4x4 matrices, and running it on the TPU quantizes every
+    product through the MXU's bf16 passes (default f32 matmul precision) —
+    measured on the 520-frame hard benchmark this alone injected ~0.3 m /
+    ~0.4 deg of apparent per-pair error into otherwise-excellent odometry
+    (direct rel-pose errors 0.089 m vs 0.316 m through the chained poses).
+    A few thousand 4x4 f64 products are microseconds on the host; this is
+    pose bookkeeping (``PoseEstimation.py:254-267``), not device compute.
 
     Args:
       rel_Rs: ``(N, 3, 3)`` lidar-frame relative rotations (frame k+1 -> k).
@@ -79,18 +82,33 @@ def chain_poses(rel_Rs: jnp.ndarray, rel_ts: jnp.ndarray, R_tr, t_tr,
       pose0: optional ``(12,)`` starting pose row (defaults to identity).
 
     Returns:
-      ``(N + 1, 12)`` pose rows.
+      ``(N + 1, 12)`` float64 pose rows.
     """
-    dR, dt = lidar_rel_to_cam(rel_Rs, rel_ts, R_tr, t_tr)
-    T = jnp.tile(jnp.eye(4), (dR.shape[0] + 1, 1, 1))
-    T = T.at[1:, :3, :3].set(dR)
-    T = T.at[1:, :3, 3].set(dt)
+    import numpy as np
+
+    rel_Rs = np.asarray(rel_Rs, np.float64)
+    rel_ts = np.asarray(rel_ts, np.float64)
+    R_tr = np.asarray(R_tr, np.float64)
+    t_tr = np.asarray(t_tr, np.float64)
+    R_tri = R_tr.T
+    t_tri = -R_tri @ t_tr
+    N = rel_Rs.shape[0]
+    # delta_cam = Tr * rel_l * Tr^-1
+    dR = np.einsum("ij,njk,kl->nil", R_tr, rel_Rs, R_tri)
+    dt = (np.einsum("ij,njk,k->ni", R_tr, rel_Rs, t_tri)
+          + rel_ts @ R_tr.T + t_tr)
+    out = np.empty((N + 1, 12))
     if pose0 is not None:
-        R0, t0 = poses_to_rt(pose0)
-        T = T.at[0, :3, :3].set(R0)
-        T = T.at[0, :3, 3].set(t0)
-    acc = jax.lax.associative_scan(jnp.matmul, T)
-    return rt_to_poses(acc[:, :3, :3], acc[:, :3, 3])
+        P = np.asarray(pose0, np.float64).reshape(3, 4)
+        R, t = P[:, :3].copy(), P[:, 3].copy()
+    else:
+        R, t = np.eye(3), np.zeros(3)
+    out[0] = np.concatenate([R, t[:, None]], axis=1).reshape(12)
+    for k in range(N):
+        t = R @ dt[k] + t
+        R = R @ dR[k]
+        out[k + 1] = np.concatenate([R, t[:, None]], axis=1).reshape(12)
+    return out
 
 
 def load_calib_tr(path: str):

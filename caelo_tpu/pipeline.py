@@ -169,18 +169,71 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
 
     key = jax.random.key(seed + 7)
     stacked = stack_frame_features(feats)
+    # Loop verification matches distant-in-time frames with NO motion prior,
+    # so descriptor-ambiguous structure (street-canyon wall speckle — every
+    # wall patch looks alike) can assemble a 100+ inlier consensus between
+    # two different but parallel corridors.  The Lowe ratio gate kills
+    # exactly those near-tied matches while genuine revisit correspondences
+    # (distinctive corners) survive — so it is forced ON here even when the
+    # odometry front end (which has temporal coherence) runs without it.
+    loop_cfg = dataclasses.replace(cfg, match_ratio=max(cfg.match_ratio, 0.85))
 
     def register_batch_fn(idx_i, idx_j, yaws):
         Rs, ts, oks, nis = _verify_loop_candidates(
             key, stacked,
             jnp.asarray(idx_i, jnp.int32), jnp.asarray(idx_j, jnp.int32),
-            jnp.asarray(yaws, jnp.float32), cfg,
+            jnp.asarray(yaws, jnp.float32), loop_cfg,
         )
         return (np.asarray(Rs), np.asarray(ts), np.asarray(oks),
                 np.asarray(nis))
 
+    # Sequence-consistency gate (SeqSLAM-style): a genuine revisit is not a
+    # single-frame coincidence — the NEIGHBOR pair (i+d, j+d) must register
+    # too, and its relative pose must agree with the candidate's chained
+    # through local odometry:  rel(i+d, j+d) = rel(i,i+d)^-1 rel(i,j)
+    # rel(j,j+d).  Registrations between LOOK-ALIKE places (aliased street
+    # corners: 100+ RANSAC inliers, perfect-looking geometry) break this
+    # chain as soon as the viewpoint moves.  A plain drift-magnitude bound
+    # cannot separate the two once heading drift makes genuine loop
+    # corrections map-scale as well (measured at 520 frames).
+    rel_Rs64 = np.asarray(rel_Rs, np.float64).reshape(-1, 3, 3)
+    rel_ts64 = np.asarray(rel_ts, np.float64).reshape(-1, 3)
+    n_frames = rel_Rs64.shape[0] + 1
+
+    def chain_rel(a, b):
+        """Odometry rel pose mapping frame b into frame a (a < b)."""
+        R = np.eye(3)
+        t = np.zeros(3)
+        for k in range(a, b):
+            R, t = R @ rel_Rs64[k], R @ rel_ts64[k] + t
+        return R, t
+
+    def edge_gate_fn(i, j, R, t, d=10, tol_t=1.5, tol_deg=3.0):
+        d = min(d, n_frames - 1 - max(i, j))
+        if d <= 0:
+            return True
+        Ri, ti = chain_rel(i, i + d)
+        Rj, tj = chain_rel(j, j + d)
+        A_R = np.asarray(R, np.float64)
+        A_t = np.asarray(t, np.float64)
+        # predicted rel(i+d, j+d) = inv(rel(i,i+d)) o A o rel(j,j+d)
+        pR = Ri.T @ A_R @ Rj
+        pt = Ri.T @ (A_R @ tj + A_t - ti)
+        reg2 = register_pair(
+            jax.random.fold_in(key, np.uint32(i * 131071 + j)),
+            jax.tree.map(lambda x: x[i + d], stacked),
+            jax.tree.map(lambda x: x[j + d], stacked), loop_cfg)
+        if not bool(reg2.success):
+            return False
+        R2 = np.asarray(reg2.R, np.float64)
+        t2 = np.asarray(reg2.t, np.float64)
+        ang = np.degrees(np.arccos(np.clip(
+            (np.trace(R2.T @ pR) - 1.0) / 2.0, -1.0, 1.0)))
+        return bool(np.linalg.norm(t2 - pt) <= tol_t and ang <= tol_deg)
+
     loops = detect_and_close(stacked, register_batch_fn=register_batch_fn,
-                             min_gap=min_loop_gap, use_scan_context=True)
+                             min_gap=min_loop_gap, use_scan_context=True,
+                             edge_gate_fn=edge_gate_fn)
     n_loops = loops.n_accepted
     loop_ei = np.asarray(loops.edges.edge_i, np.int32)
     loop_ej = np.asarray(loops.edges.edge_j, np.int32)

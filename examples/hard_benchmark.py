@@ -64,6 +64,18 @@ def main():
     R_tr, t_tr = np.eye(3), np.zeros(3)
     errs = relative_pose_errors(poses_gt, result.poses_raw, R_tr, t_tr)
     summary = registration_summary(errs)
+    # cross-check: per-pair errors straight from the registered relative
+    # poses (no pose chaining / re-derivation in the loop)
+    gtr = poses_gt.reshape(-1, 3, 4)
+    gt_R = np.einsum("nji,njk->nik", gtr[:-1, :, :3], gtr[1:, :, :3])
+    gt_t = np.einsum("nji,nj->ni", gtr[:-1, :, :3],
+                     gtr[1:, :, 3] - gtr[:-1, :, 3])
+    dd_t = np.linalg.norm(result.odometry.rel_ts - gt_t, axis=1)
+    tr = np.einsum("nij,nij->n", result.odometry.rel_Rs, gt_R)
+    dd_r = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    print(f"direct-rel check: rte_mean {dd_t.mean():.4f} "
+          f"rre_geo_mean {dd_r.mean():.4f} "
+          f"rte_p90 {np.percentile(dd_t, 90):.4f}", file=sys.stderr)
     ate_raw = absolute_trajectory_error(poses_gt, result.poses_raw)
     ate_dj = absolute_trajectory_error(poses_gt, result.poses_dejumped)
     ate_ref = absolute_trajectory_error(poses_gt, result.poses_refined)
@@ -108,10 +120,20 @@ def main():
 
     gates_ok = (summary["rre_deg"] < 1.0 and summary["rte_m"] < 0.5
                 and summary["success_rate"] >= 0.99)
+    loop_msg = ""
+    if not args.no_loop:
+        lp = out.get("loop_precision", 0.0)
+        lr = out.get("loop_recall", 0.0)
+        loop_ok = (result.n_loop_closures > 0 and lp >= 0.9 and lr >= 0.5
+                   and out["ate_final_m"] <= out["ate_raw_m"])
+        gates_ok = gates_ok and loop_ok
+        loop_msg = (f", loop precision {lp:.2f} (>=0.9) at recall {lr:.2f} "
+                    f"(>=0.5), ATE {out['ate_raw_m']:.2f}->"
+                    f"{out['ate_final_m']:.2f} m (must not grow)")
     print(f"GATES {'PASS' if gates_ok else 'FAIL'}: "
           f"RRE {summary['rre_deg']:.4f} deg (<1), "
           f"RTE {summary['rte_m']:.4f} m (<0.5), "
-          f"success {summary['success_rate']*100:.2f}% (>=99)",
+          f"success {summary['success_rate']*100:.2f}% (>=99)" + loop_msg,
           file=sys.stderr)
     return 0 if gates_ok else 1
 

@@ -96,6 +96,14 @@ def main():
     from caelo_tpu.utils.telemetry import MetricsLog
 
     cfg = PipelineConfig(compute_dtype=COMPUTE_DTYPE)
+    if os.environ.get("BENCH_PALLAS_NMS", "0") == "1":
+        # A/B knob for the fused Pallas saliency kernel (ROADMAP "Pallas
+        # settlement"): flip the NMS backend without touching defaults
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, keypoint=dataclasses.replace(cfg.keypoint,
+                                              use_pallas_nms=True))
     if weights_io.reference_models_available():
         respond = weights_io.load_respond_layer_params()
         encoder = weights_io.load_patch_encoder_params()

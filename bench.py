@@ -169,10 +169,13 @@ def main():
     peak = _lookup_peak(_PEAK_FLOPS, dev.device_kind)
     peak_hbm = _lookup_peak(_PEAK_HBM_BYTES, dev.device_kind)
     mfu = flops_per_window / p50 / peak if flops_per_window else 0.0
-    # achieved HBM fraction from XLA's post-optimization bytes-accessed
-    # count — the meaningful utilization axis for this gather-bound
-    # pipeline (MFU only covers the small conv/matmul fraction)
-    hbm_frac = bytes_per_window / p50 / peak_hbm if bytes_per_window else 0.0
+    # XLA cost-model bytes over peak HBM bandwidth.  This is NOT an
+    # achieved-bandwidth utilization: XLA's "bytes accessed" counts fused
+    # reads more than once, so the ratio can exceed 1.0 (VERDICT r3 weak
+    # #5).  It is published under an explicit cost-model name; read it as
+    # "the window is HBM-bound", nothing more.
+    costmodel_hbm = (bytes_per_window / p50 / peak_hbm
+                     if bytes_per_window else 0.0)
 
     # capacity-saturation observability (ADVICE r2): per-scale occupancy vs
     # the static supercell caps / bitgrid slots, logged per run so silent
@@ -201,7 +204,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "mfu": round(mfu, 4),
-        "hbm_frac": round(hbm_frac, 4),
+        "xla_costmodel_hbm_frac": round(costmodel_hbm, 4),
         "bytes_per_window": bytes_per_window,
         "p50_ms": round(p50 * 1e3, 3),
         "p95_ms": round(p95 * 1e3, 3),

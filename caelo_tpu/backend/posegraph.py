@@ -125,6 +125,149 @@ def optimize(R0: jnp.ndarray, t0: jnp.ndarray, graph: PoseGraph,
     return R, t, cost
 
 
+def optimize_host(R0, t0, graph: PoseGraph, n_iters: int = 20,
+                  damping: float = 1e-6, tol: float = 1e-12):
+    """Exact Gauss-Newton pose-graph solve on host float64 (scipy sparse LU).
+
+    Why this exists alongside the TPU ``optimize``: a chain-plus-loops graph
+    has normal-equation condition number O(N^2), so matrix-free CG needs
+    ~N iterations to converge — at 520 frames, 60 CG iterations leave >90%
+    of the loop correction on the table (measured: ATE 10.1 -> 9.8 m where
+    the converged optimum is 4.6 m).  The normal equations are
+    block-tridiagonal + a few loop off-diagonals; a direct sparse
+    factorization solves them exactly in milliseconds at seq-00 scale
+    (N=4,541 -> 27k unknowns).  Pose bookkeeping in host f64 is also this
+    repo's accuracy invariant (TPU f32 matmul runs through bf16 MXU passes).
+
+    Same parameterization/residuals as ``optimize``: per-node right-increment
+    rotation + world-additive translation, node 0 gauge-fixed; residuals per
+    edge ``Log(Rm^T Ri^T Rj)`` (weighted sqrt(w*rot_info)) and
+    ``Ri^T (tj - ti) - tm`` (weighted sqrt(w)).  Analytic Jacobians with the
+    exact SO(3) right-Jacobian inverse.
+
+    Returns ``(R (N,3,3) f64, t (N,3) f64, final_cost)``.
+    """
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    R = np.asarray(R0, np.float64).copy()
+    t = np.asarray(t0, np.float64).copy()
+    ei = np.asarray(graph.edge_i, np.int64)
+    ej = np.asarray(graph.edge_j, np.int64)
+    Rm = np.asarray(graph.rel_R, np.float64)
+    tm = np.asarray(graph.rel_t, np.float64)
+    w = np.sqrt(np.maximum(np.asarray(graph.weight, np.float64), 0.0))
+    wr = np.sqrt(np.maximum(
+        np.asarray(graph.weight, np.float64)
+        * np.asarray(graph.rot_info, np.float64), 0.0))
+    N = R.shape[0]
+    E = ei.shape[0]
+
+    def hat(v):
+        out = np.zeros(v.shape[:-1] + (3, 3))
+        out[..., 0, 1] = -v[..., 2]
+        out[..., 0, 2] = v[..., 1]
+        out[..., 1, 0] = v[..., 2]
+        out[..., 1, 2] = -v[..., 0]
+        out[..., 2, 0] = -v[..., 1]
+        out[..., 2, 1] = v[..., 0]
+        return out
+
+    def log_so3(M):
+        tr = np.clip((np.trace(M, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+        th = np.arccos(tr)
+        ax = np.stack([M[..., 2, 1] - M[..., 1, 2],
+                       M[..., 0, 2] - M[..., 2, 0],
+                       M[..., 1, 0] - M[..., 0, 1]], axis=-1)
+        s = np.where(th > 1e-7, th / np.maximum(2.0 * np.sin(th), 1e-30), 0.5)
+        return ax * s[..., None]
+
+    def exp_so3(v):
+        th = np.linalg.norm(v, axis=-1, keepdims=True)
+        th_ = np.maximum(th, 1e-30)
+        K = hat(v / th_)
+        s = np.sin(th)[..., None]
+        c = (1.0 - np.cos(th))[..., None]
+        eye = np.broadcast_to(np.eye(3), K.shape)
+        out = eye + s * K + c * (K @ K)
+        return np.where(th[..., None] > 1e-12, out, eye + hat(v))
+
+    def jr_inv(phi):
+        """Inverse right Jacobian of SO(3) at phi (batched)."""
+        th = np.linalg.norm(phi, axis=-1)
+        P = hat(phi)
+        eye = np.broadcast_to(np.eye(3), P.shape)
+        small = th < 1e-6
+        th_ = np.where(small, 1.0, th)
+        coef = np.where(
+            small, 1.0 / 12.0,
+            1.0 / th_**2 - (1.0 + np.cos(th_)) / (2.0 * th_ * np.sin(th_)
+                                                  + 1e-300))
+        return eye + 0.5 * P + coef[..., None, None] * (P @ P)
+
+    def residuals(R, t):
+        A = np.einsum("eji,ejk->eik", R[ei], R[ej])        # Ri^T Rj
+        Er = np.einsum("eji,ejk->eik", Rm, A)              # Rm^T Ri^T Rj
+        r_rot = log_so3(Er)
+        u = np.einsum("eji,ej->ei", R[ei], t[ej] - t[ei])  # Ri^T (tj - ti)
+        r_t = u - tm
+        return r_rot, r_t, A, u
+
+    def cost_of(r_rot, r_t):
+        return float(np.sum((wr[:, None] * r_rot) ** 2)
+                     + np.sum((w[:, None] * r_t) ** 2))
+
+    prev_cost = np.inf
+    for _ in range(n_iters):
+        r_rot, r_t, A, u = residuals(R, t)
+        cost = cost_of(r_rot, r_t)
+        if np.isfinite(prev_cost) and (
+                prev_cost - cost <= tol * max(prev_cost, 1.0)):
+            break
+        prev_cost = cost
+        Jri = jr_inv(r_rot)
+        # rotation rows: d r_rot/d wj = Jr^{-1}, d r_rot/d wi = -Jr^{-1} A^T
+        drot_dwj = wr[:, None, None] * Jri
+        drot_dwi = -np.einsum("eik,ejk->eij", drot_dwj, A)  # -Jri @ A^T
+        # translation rows: d r_t/d ti = -Ri^T, d r_t/d tj = Ri^T,
+        # d r_t/d wi = [u]x
+        RiT = np.swapaxes(R[ei], -1, -2)
+        dt_dtj = w[:, None, None] * RiT
+        dt_dti = -dt_dtj
+        dt_dwi = w[:, None, None] * hat(u)
+        # assemble sparse J (6E x 6N): rows [rot(3); trans(3)] per edge,
+        # cols [w(3); t(3)] per node
+        blocks = [
+            (0, ei, 0, drot_dwi), (0, ej, 0, drot_dwj),
+            (3, ei, 0, dt_dwi), (3, ei, 3, dt_dti), (3, ej, 3, dt_dtj),
+        ]
+        rows, cols, vals = [], [], []
+        e_base = 6 * np.arange(E)
+        rr, cc = np.meshgrid(np.arange(3), np.arange(3), indexing="ij")
+        for row_off, nodes, col_off, B in blocks:
+            rows.append((e_base[:, None, None] + row_off + rr).ravel())
+            cols.append((6 * nodes[:, None, None] + col_off + cc).ravel())
+            vals.append(B.ravel())
+        J = sp.csr_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(6 * E, 6 * N))
+        r = np.concatenate(
+            [wr[:, None] * r_rot, w[:, None] * r_t], axis=1).ravel()
+        # gauge: drop node 0's columns
+        Jf = J[:, 6:].tocsc()
+        H = (Jf.T @ Jf + damping * sp.identity(6 * (N - 1))).tocsc()
+        b = Jf.T @ r
+        delta = spla.spsolve(H, -b)
+        d = np.zeros((N, 6))
+        d[1:] = delta.reshape(N - 1, 6)
+        R = R @ exp_so3(d[:, 0:3])
+        t = t + d[:, 3:6]
+    r_rot, r_t, _, _ = residuals(R, t)
+    return R, t, cost_of(r_rot, r_t)
+
+
 def optimize_sharded(mesh: Mesh, n_nodes: int, n_iters: int = 10,
                      cg_iters: int = 30, damping: float = 1e-4):
     """Distributed solve: edges sharded over 'data', poses replicated, the

@@ -159,8 +159,12 @@ def fix_jump_poses(poses, cfg: RefineConfig = RefineConfig(),
     for i in range(2, len(poses) - 1):
         if pair_trusted is not None and bool(pair_trusted[i - 1]):
             continue
-        d_eul = np.linalg.norm(np.abs(eul[i - 1]) - np.abs(eul[i - 2]))
-        d_t = np.linalg.norm(np.abs(rel_ts[i - 1]) - np.abs(rel_ts[i - 2]))
+        # SIGNED vector diffs, matching ``Transformations.py:148``
+        # (norm(RelEulers[i+1] - RelEulers[i])): an abs-before-diff variant
+        # reads a sign-flip jump (+2 -> -2 deg/frame yaw, or a translation
+        # reversal) as zero change and silently misses it.
+        d_eul = np.linalg.norm(eul[i - 1] - eul[i - 2])
+        d_t = np.linalg.norm(rel_ts[i - 1] - rel_ts[i - 2])
         if d_eul > cfg.jump_euler_deg or d_t > cfg.jump_trans_m:
             rel_Rs[i - 1] = rel_Rs[i - 2]
             rel_ts[i - 1] = rel_ts[i - 2]

@@ -283,10 +283,22 @@ def raycast_scan(scene: dict, pose: np.ndarray, frame: int,
 def generate_benchmark(n_frames: int = 520, seed: int = 0,
                        cfg: PipelineConfig = PipelineConfig(),
                        side: float = 96.0, az_step_deg: float | None = None,
-                       yaw_rate_deg: float = 2.0, n_cars: int = 6):
+                       yaw_rate_deg: float = 2.0, n_cars: int = 6,
+                       degraded_spans=None):
     """Hard benchmark sequence: (scans, poses_gt) where ``scans`` is a list
     of padded ``(max_points, 4)`` arrays + masks and ``poses_gt`` the
-    ``(N, 12)`` KITTI-style ground truth (identity sensor calib)."""
+    ``(N, 12)`` KITTI-style ground truth (identity sensor calib).
+
+    Args:
+      degraded_spans: optional list of ``(start, stop, dropout,
+        sector_deg)`` frame spans where the sensor degrades: per-ray
+        dropout raised to ``dropout`` and a ``sector_deg``-wide azimuth
+        wedge fully occluded (a close-pass truck / sensor fault).  This is
+        the rescue scenario for the refinement back end: descriptor
+        registration degrades or fails in the burst while the dense
+        geometry ICP still has signal (``RefinePoses.py:338-464`` is the
+        reference's reason for the stage to exist).
+    """
     from ..ops.masking import pad_points
 
     scene = make_city(seed=seed, side=side, n_cars=n_cars)
@@ -296,8 +308,19 @@ def generate_benchmark(n_frames: int = 520, seed: int = 0,
     poses[:, 2, 3] += terrain_height(scene, poses[:, 0, 3], poses[:, 1, 3])
     scans = []
     for i in range(n_frames):
+        dropout, sector = 0.08, None
+        for span in (degraded_spans or ()):
+            a, b, dr, sec = span
+            if a <= i < b:
+                dropout, sector = dr, sec
         pts = raycast_scan(scene, poses[i], i, cfg.sensor,
-                           az_step_deg=az_step_deg, seed=seed)
+                           az_step_deg=az_step_deg, seed=seed,
+                           dropout=dropout)
+        if sector:
+            # occlude a fixed sensor-frame azimuth wedge (centred on +y so
+            # the forward view survives)
+            az = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+            pts = pts[np.abs(az - 90.0) > sector / 2.0]
         if pts.shape[0] > cfg.max_points:
             keep = np.random.default_rng(seed + i).choice(
                 pts.shape[0], cfg.max_points, replace=False)

@@ -25,7 +25,8 @@ import numpy as np
 
 from .backend import refine
 from .backend.loopclosure import detect_and_close
-from .backend.posegraph import concat_graphs, odometry_graph, optimize
+from .backend.posegraph import (concat_graphs, odometry_graph, optimize,
+                                optimize_host)
 from .backend.refine_runner import (RefinementFeatures,
                                     extract_refinement_features,
                                     make_batched_icp_fn, make_icp_fn)
@@ -178,15 +179,6 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
     # odometry front end (which has temporal coherence) runs without it.
     loop_cfg = dataclasses.replace(cfg, match_ratio=max(cfg.match_ratio, 0.85))
 
-    def register_batch_fn(idx_i, idx_j, yaws):
-        Rs, ts, oks, nis = _verify_loop_candidates(
-            key, stacked,
-            jnp.asarray(idx_i, jnp.int32), jnp.asarray(idx_j, jnp.int32),
-            jnp.asarray(yaws, jnp.float32), loop_cfg,
-        )
-        return (np.asarray(Rs), np.asarray(ts), np.asarray(oks),
-                np.asarray(nis))
-
     # Sequence-consistency gate (SeqSLAM-style): a genuine revisit is not a
     # single-frame coincidence — the NEIGHBOR pair (i+d, j+d) must register
     # too, and its relative pose must agree with the candidate's chained
@@ -196,22 +188,60 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
     # chain as soon as the viewpoint moves.  A plain drift-magnitude bound
     # cannot separate the two once heading drift makes genuine loop
     # corrections map-scale as well (measured at 520 frames).
+    #
+    # Seq-scale engineering: local odometry rels come from prefix
+    # compositions (O(1) per lookup, one O(N) host-f64 chain), and the
+    # neighbor registrations ride in the SAME batched device call as the
+    # candidates themselves — the per-candidate dispatch + O(N) chain walk
+    # of the r3 design cost ~80 s at 520 frames and scales as O(N * C).
     rel_Rs64 = np.asarray(rel_Rs, np.float64).reshape(-1, 3, 3)
     rel_ts64 = np.asarray(rel_ts, np.float64).reshape(-1, 3)
     n_frames = rel_Rs64.shape[0] + 1
+    W_R = np.empty((n_frames, 3, 3))
+    W_t = np.empty((n_frames, 3))
+    W_R[0] = np.eye(3)
+    W_t[0] = 0.0
+    for k in range(n_frames - 1):
+        W_R[k + 1] = W_R[k] @ rel_Rs64[k]
+        W_t[k + 1] = W_R[k] @ rel_ts64[k] + W_t[k]
 
     def chain_rel(a, b):
-        """Odometry rel pose mapping frame b into frame a (a < b)."""
-        R = np.eye(3)
-        t = np.zeros(3)
-        for k in range(a, b):
-            R, t = R @ rel_Rs64[k], R @ rel_ts64[k] + t
+        """Odometry rel pose mapping frame b into frame a (prefix-composed:
+        rel(a,b) = W_a^-1 W_b)."""
+        R = W_R[a].T @ W_R[b]
+        t = W_R[a].T @ (W_t[b] - W_t[a])
         return R, t
 
-    def edge_gate_fn(i, j, R, t, d=10, tol_t=1.5, tol_deg=3.0):
-        d = min(d, n_frames - 1 - max(i, j))
+    GATE_D = 10
+    neighbor_regs = {}
+
+    def register_batch_fn(idx_i, idx_j, yaws):
+        n = len(idx_i)
+        # candidate pairs + their consistency-gate neighbor pairs (i+d, j+d),
+        # verified together in ONE device call
+        d_arr = np.minimum(GATE_D, n_frames - 1 - np.maximum(idx_i, idx_j))
+        d_arr = np.maximum(d_arr, 0)
+        all_i = np.concatenate([idx_i, idx_i + d_arr])
+        all_j = np.concatenate([idx_j, idx_j + d_arr])
+        all_y = np.concatenate([yaws, yaws])
+        Rs, ts, oks, nis = _verify_loop_candidates(
+            key, stacked,
+            jnp.asarray(all_i, jnp.int32), jnp.asarray(all_j, jnp.int32),
+            jnp.asarray(all_y, jnp.float32), loop_cfg,
+        )
+        Rs, ts = np.asarray(Rs), np.asarray(ts)
+        oks, nis = np.asarray(oks), np.asarray(nis)
+        for k in range(n):
+            neighbor_regs[(int(idx_i[k]), int(idx_j[k]))] = (
+                int(d_arr[k]), Rs[n + k], ts[n + k], bool(oks[n + k]))
+        return Rs[:n], ts[:n], oks[:n], nis[:n]
+
+    def edge_gate_fn(i, j, R, t, tol_t=1.5, tol_deg=3.0):
+        d, R2, t2, ok2 = neighbor_regs[(i, j)]
         if d <= 0:
             return True
+        if not ok2:
+            return False
         Ri, ti = chain_rel(i, i + d)
         Rj, tj = chain_rel(j, j + d)
         A_R = np.asarray(R, np.float64)
@@ -219,14 +249,8 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         # predicted rel(i+d, j+d) = inv(rel(i,i+d)) o A o rel(j,j+d)
         pR = Ri.T @ A_R @ Rj
         pt = Ri.T @ (A_R @ tj + A_t - ti)
-        reg2 = register_pair(
-            jax.random.fold_in(key, np.uint32(i * 131071 + j)),
-            jax.tree.map(lambda x: x[i + d], stacked),
-            jax.tree.map(lambda x: x[j + d], stacked), loop_cfg)
-        if not bool(reg2.success):
-            return False
-        R2 = np.asarray(reg2.R, np.float64)
-        t2 = np.asarray(reg2.t, np.float64)
+        R2 = np.asarray(R2, np.float64)
+        t2 = np.asarray(t2, np.float64)
         ang = np.degrees(np.arccos(np.clip(
             (np.trace(R2.T @ pR) - 1.0) / 2.0, -1.0, 1.0)))
         return bool(np.linalg.norm(t2 - pt) <= tol_t and ang <= tol_deg)
@@ -248,14 +272,13 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
             + P[:, :, 3]
         )
         g = concat_graphs(odometry_graph(rel_Rs, rel_ts), loops.edges)
-        Ro, to, _ = optimize(
-            jnp.asarray(R_w, jnp.float32), jnp.asarray(t_w, jnp.float32),
-            jax.tree.map(
-                lambda x: x.astype(jnp.float32)
-                if x.dtype in (jnp.float64,) else x, g
-            ),
-            n_iters=8, cg_iters=60,
-        )
+        # Exact host-f64 GN (direct sparse factorization).  The matrix-free
+        # TPU CG path needs ~N iterations on a chain-conditioned graph
+        # (cond ~ N^2): at 520 frames, 8x60 CG iterations recovered <10% of
+        # the loop correction (ATE 13.5 -> 12.3 m) where the exact solve
+        # collapses it (measured 10.1 -> 0.30 m on the drift experiment).
+        # Pose bookkeeping in host f64 is also the repo accuracy invariant.
+        Ro, to, _ = optimize_host(R_w, t_w, g)
         # back to camera pose rows: pose = T_world_lidar @ Tr^-1
         Rti = np.asarray(R_tr).T
         tti = -Rti @ np.asarray(t_tr)

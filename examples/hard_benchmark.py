@@ -124,12 +124,14 @@ def main():
     if not args.no_loop:
         lp = out.get("loop_precision", 0.0)
         lr = out.get("loop_recall", 0.0)
+        # a verified closure on a closed circuit must COLLAPSE endpoint
+        # drift, not merely not grow it (VERDICT r3 item 2)
         loop_ok = (result.n_loop_closures > 0 and lp >= 0.9 and lr >= 0.5
-                   and out["ate_final_m"] <= out["ate_raw_m"])
+                   and out["ate_final_m"] <= 0.5 * out["ate_raw_m"])
         gates_ok = gates_ok and loop_ok
         loop_msg = (f", loop precision {lp:.2f} (>=0.9) at recall {lr:.2f} "
                     f"(>=0.5), ATE {out['ate_raw_m']:.2f}->"
-                    f"{out['ate_final_m']:.2f} m (must not grow)")
+                    f"{out['ate_final_m']:.2f} m (must halve)")
     print(f"GATES {'PASS' if gates_ok else 'FAIL'}: "
           f"RRE {summary['rre_deg']:.4f} deg (<1), "
           f"RTE {summary['rte_m']:.4f} m (<0.5), "

@@ -58,8 +58,11 @@ def test_full_stack_gates_on_hard_circuit():
     assert ate_dj <= ate_raw * 1.05 + 0.05, (ate_raw, ate_dj)
     assert ate_ref <= ate_dj * 1.05 + 0.05, (ate_dj, ate_ref)
     assert ate_fin <= ate_ref * 1.05 + 0.05, (ate_ref, ate_fin)
-    # ...and any accepted loop edges must be genuine revisits
-    if res.n_loop_closures > 0:
-        pr = loop_closure_pr(res.loop_edge_i, res.loop_edge_j,
-                             gt.reshape(-1, 3, 4)[:, :, 3], min_gap=40)
-        assert pr["precision"] >= 0.9, pr
+    # ...the circuit has a genuine revisit, so the detector must FIND it
+    # (recall gate — a permanently-empty loop stage may not pass), and any
+    # accepted edges must be genuine revisits
+    assert res.n_loop_closures > 0
+    pr = loop_closure_pr(res.loop_edge_i, res.loop_edge_j,
+                         gt.reshape(-1, 3, 4)[:, :, 3], min_gap=40)
+    assert pr["precision"] >= 0.9, pr
+    assert pr["recall"] >= 0.5, pr

@@ -99,6 +99,75 @@ def test_loop_closure_corrects_drift(rng):
     assert err_after < err_before
 
 
+def test_optimize_host_exact_graph_stays_put():
+    from caelo_tpu.backend.posegraph import optimize_host
+
+    Rs, ts = make_square_trajectory()
+    rel_R, rel_t = rels_from(Rs, ts)
+    g = odometry_graph(rel_R, rel_t)
+    R, t, cost = optimize_host(Rs, ts, g)
+    np.testing.assert_allclose(t, ts, atol=1e-9)
+    assert cost < 1e-18
+
+
+def test_optimize_host_collapses_loop_drift(rng):
+    """The direct f64 sparse GN must CONVERGE (unlike iteration-starved CG):
+    on noisy odometry + one exact loop edge, the endpoint gap collapses to
+    ~noise scale and the solve beats the TPU-CG result."""
+    from caelo_tpu.backend.posegraph import optimize_host
+
+    Rs, ts = make_square_trajectory()
+    rel_R, rel_t = rels_from(Rs, ts, noise_rot=0.004, noise_t=0.03, rng=rng)
+    R_init, t_init = chain(rel_R, rel_t)
+    n = len(R_init)
+    gap_before = np.linalg.norm(t_init[-1] - ts[-1])
+    loop = PoseGraph(
+        edge_i=jnp.asarray([0], jnp.int32),
+        edge_j=jnp.asarray([n - 1], jnp.int32),
+        rel_R=jnp.asarray(Rs[0].T @ Rs[-1])[None],
+        rel_t=jnp.asarray(Rs[0].T @ (ts[-1] - ts[0]))[None],
+        weight=jnp.asarray([50.0]),
+        rot_info=jnp.asarray([100.0]),
+    )
+    g = concat_graphs(odometry_graph(rel_R, rel_t), loop)
+    R, t, cost = optimize_host(R_init, t_init, g)
+    gap_after = np.linalg.norm(t[-1] - ts[-1])
+    assert gap_after < 0.05 * gap_before
+    err_before = np.linalg.norm(t_init - ts, axis=1).mean()
+    err_after = np.linalg.norm(t - ts, axis=1).mean()
+    assert err_after < 0.5 * err_before
+    # rotations stay orthonormal through the retraction chain
+    np.testing.assert_allclose(
+        np.einsum("nij,nik->njk", R, R), np.tile(np.eye(3), (len(R), 1, 1)),
+        atol=1e-10)
+
+
+def test_optimize_host_matches_tpu_optimum():
+    """On a small graph (where CG CAN converge) the host solve and the
+    jitted TPU-path solve agree."""
+    from caelo_tpu.backend.posegraph import optimize_host
+
+    rng = np.random.default_rng(3)
+    Rs, ts = make_square_trajectory(n_side=2)
+    rel_R, rel_t = rels_from(Rs, ts, noise_rot=0.01, noise_t=0.05, rng=rng)
+    R_init, t_init = chain(rel_R, rel_t)
+    n = len(R_init)
+    loop = PoseGraph(
+        edge_i=jnp.asarray([0], jnp.int32),
+        edge_j=jnp.asarray([n - 1], jnp.int32),
+        rel_R=jnp.asarray(Rs[0].T @ Rs[-1])[None],
+        rel_t=jnp.asarray(Rs[0].T @ (ts[-1] - ts[0]))[None],
+        weight=jnp.asarray([10.0]),
+        rot_info=jnp.asarray([100.0]),
+    )
+    g = concat_graphs(odometry_graph(rel_R, rel_t), loop)
+    Rd, td, cd = optimize(jnp.asarray(R_init), jnp.asarray(t_init), g,
+                          n_iters=10, cg_iters=200)
+    Rh, th, ch = optimize_host(R_init, t_init, g)
+    np.testing.assert_allclose(th, np.asarray(td), atol=2e-3)
+    assert ch <= float(cd) * 1.05 + 1e-9
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_matches_single_device(rng):
     from caelo_tpu.parallel.mesh import make_mesh

@@ -52,6 +52,42 @@ def test_fix_jump_poses():
     np.testing.assert_allclose(steps, 1.0, atol=1e-6)
 
 
+def test_fix_jump_detects_sign_flip():
+    """A translation REVERSAL (+1 m/frame -> -1 m/frame) must read as a jump.
+
+    Regression for an abs-before-diff bug: |abs(t_i) - abs(t_{i-1})| is zero
+    for a sign flip, so the jump was silently missed; the reference diffs the
+    signed vectors (``Transformations.py:148``)."""
+    poses = straight_trajectory(10)
+    # frame 5 steps BACKWARD: positions ... 3, 4, 3, 4, 5 ...
+    poses[5:, 3] -= 2.0
+    fixed, frames = refine.fix_jump_poses(poses, RefineConfig())
+    assert 5 in frames
+    rel_Rs, rel_ts = refine._all_rels(fixed)
+    np.testing.assert_allclose(rel_ts[:, 0], 1.0, atol=1e-6)
+
+
+def test_fix_jump_detects_yaw_sign_flip():
+    """+2 deg/frame -> -2 deg/frame yaw flip is a jump (same regression)."""
+    n = 10
+    poses = np.zeros((n, 12))
+    yaw = 0.0
+    pos = np.zeros(3)
+    rates = [2.0] * 5 + [-2.0] + [2.0] * (n - 6)
+    for i in range(n):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        poses[i] = np.hstack([R, pos[:, None]]).reshape(12)
+        pos = pos + R @ np.array([1.0, 0.0, 0.0])
+        yaw += np.radians(rates[i])
+    fixed, frames = refine.fix_jump_poses(poses, RefineConfig())
+    assert len(frames) >= 1
+    eul = np.array([refine._euler_deg(R)
+                    for R in refine._all_rels(fixed)[0]])
+    # after de-jump every step turns at the constant +2 deg/frame rate
+    np.testing.assert_allclose(eul[:, 2], 2.0, atol=1e-6)
+
+
 def test_fix_jump_keeps_clean_trajectory():
     poses = straight_trajectory(10)
     fixed, frames = refine.fix_jump_poses(poses, RefineConfig())

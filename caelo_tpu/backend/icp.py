@@ -62,12 +62,9 @@ def nearest_neighbors(query: jnp.ndarray, query_mask: jnp.ndarray,
 
 
 def _nn(query, query_mask, ref, ref_mask, cfg: IcpConfig):
-    """Correspondence search, dispatched on ``cfg.use_pallas_nn`` (static
-    under jit, so only the chosen path is traced)."""
-    if cfg.use_pallas_nn:
-        from ..ops.pallas_nn import nearest_neighbor_pallas
-
-        return nearest_neighbor_pallas(query, query_mask, ref, ref_mask)
+    """Correspondence search: the chunked XLA distance matmul.  (A Pallas
+    streaming-argmin alternative lost the fetch-synced v5e A/B — 1.93 vs
+    1.81 ms/call, PALLAS_AB.json — and was deleted.)"""
     return nearest_neighbors(query, query_mask, ref, ref_mask)
 
 
@@ -127,7 +124,8 @@ def icp_hybrid(pc0: jnp.ndarray, mask0: jnp.ndarray,
                pc1: jnp.ndarray, mask1: jnp.ndarray,
                planar0: jnp.ndarray, pmask0: jnp.ndarray,
                planar1: jnp.ndarray, pmask1: jnp.ndarray,
-               cfg: IcpConfig = IcpConfig()) -> IcpResult:
+               cfg: IcpConfig = IcpConfig(),
+               thr_scale=1.0) -> IcpResult:
     """Joint point-to-point + point-to-plane ICP
     (``ICP_Pt2PtAndPt2Plane``, ``MyICP.py:127-201``).
 
@@ -135,6 +133,13 @@ def icp_hybrid(pc0: jnp.ndarray, mask0: jnp.ndarray,
     correspondences are pedal-point pairs: target point projected onto the
     matched source plane (``MyICP.py:104-113``), weighted into the same Horn
     solve as the point pairs.
+
+    ``thr_scale`` (traced scalar) multiplies the INITIAL inlier thresholds:
+    a coarse-to-fine retry rung for spans whose initial relative-pose guess
+    is meters off (a constant-velocity fallback through a turn), where the
+    default 0.5 m gate starves the solver of inliers before it can pull the
+    clouds together.  The decay schedule still tightens the gate as the
+    solve converges, so an accepted result is as precise as a rung-1 one.
     """
     p0_xyz, n0 = planar0[:, 0:3], planar0[:, 3:6]
 
@@ -182,8 +187,8 @@ def icp_hybrid(pc0: jnp.ndarray, mask0: jnp.ndarray,
         jnp.zeros((3,), pc0.dtype),
         pc1,
         planar1[:, 0:3],
-        jnp.asarray(cfg.inlier_threshold, pc0.dtype),
-        jnp.asarray(cfg.plane_inlier_threshold, pc0.dtype),
+        jnp.asarray(cfg.inlier_threshold * thr_scale, pc0.dtype),
+        jnp.asarray(cfg.plane_inlier_threshold * thr_scale, pc0.dtype),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),

@@ -269,11 +269,23 @@ def refine_odometry(poses, icp_fn: Callable, rel_lidar_fn: Callable,
             i += 1
             continue
         new_pose = apply_rel_fn(poses[i], newR, newT)
-        poses, rel_Rs, rel_ts = forward_update(poses, j, new_pose, rel_Rs, rel_ts)
+        poses, rel_Rs, rel_ts = _apply_correction(poses, i, j, new_pose,
+                                                  rel_Rs, rel_ts, cfg)
         stats.refined.append((i, j))
         max_transfer = cfg.max_transfer_frames
         i = j
     return poses, stats
+
+
+def _apply_correction(poses, i, j, new_pose, rel_Rs, rel_ts,
+                      cfg: RefineConfig):
+    """Apply an accepted span correction: distribute it over (i, j] when
+    ``cfg.backward_distribute`` (the reference's disabled
+    ``BackwardUpdatePoses``, live here), then re-chain the tail."""
+    if cfg.backward_distribute and j - i > 1:
+        poses, rel_Rs, rel_ts = backward_update(poses, i, j, new_pose,
+                                                rel_Rs, rel_ts)
+    return forward_update(poses, j, new_pose, rel_Rs, rel_ts)
 
 
 def plan_spans(poses_len: int, inlier_idx_pairs: Sequence | None,
@@ -362,13 +374,14 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
             return None
         return newR, newT
 
-    def solve(span_list):
+    def solve(span_list, thr_scale=1.0):
         idx_i = np.array([s[0] for s in span_list], np.int32)
         idx_j = np.array([s[1] for s in span_list], np.int32)
         rels = [rel_lidar_fn(poses[a], poses[b]) for a, b in span_list]
         relRs = np.stack([r for r, _ in rels])
         relTs = np.stack([t for _, t in rels])
-        dRs, dts, oks = batched_icp_fn(idx_i, idx_j, relRs, relTs)
+        dRs, dts, oks = batched_icp_fn(idx_i, idx_j, relRs, relTs,
+                                       thr_scale=thr_scale)
         return relRs, relTs, dRs, dts, oks
 
     # pass 1: all planned spans in one batched call
@@ -400,10 +413,37 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
                 (stats.failed if not bool(oks[k])
                  else stats.rejected).append((i, j))
 
+    # pass 3: coarse-to-fine retry ladder for FAILED steps (the rescue
+    # path).  A step whose initial guess is a constant-velocity fallback
+    # through a turn starts meters off; the 0.5 m inlier gate starves ICP
+    # of correspondences before it can pull the clouds together (measured
+    # on the degraded hard benchmark: every failed-front-end span also
+    # failed rung-1 ICP).  The ladder widens the INITIAL gate (the decay
+    # schedule still tightens it on convergence) — the ICP analog of the
+    # RANSAC 0.4/0.8/1.6 threshold ladder (``Match.py:207-214``).  Rejected
+    # (not failed) steps are NOT retried: they produced a confident answer
+    # past the accept gate, and a wider gate only loosens it.
+    for rung in (2.0, 4.0, 8.0):
+        retry = [s for s in stats.failed]
+        if not retry:
+            break
+        stats.failed = []
+        relRs, relTs, dRs, dts, oks = solve(retry, thr_scale=rung)
+        for k, (i, j) in enumerate(retry):
+            res = decide(i, j, relRs[k], relTs[k], dRs[k], dts[k],
+                         bool(oks[k]))
+            if res is not None:
+                accepted[j] = (i, *res)
+                stats.refined.append((i, j))
+            elif bool(oks[k]):
+                stats.rejected.append((i, j))
+            else:
+                stats.failed.append((i, j))
+
     # apply accepted corrections in frame order (cheap host chain)
     for j in sorted(accepted):
         i, newR, newT = accepted[j]
         new_pose = apply_rel_fn(poses[i], newR, newT)
-        poses, rel_Rs, rel_ts = forward_update(poses, j, new_pose,
-                                               rel_Rs, rel_ts)
+        poses, rel_Rs, rel_ts = _apply_correction(poses, i, j, new_pose,
+                                                  rel_Rs, rel_ts, cfg)
     return poses, stats

@@ -35,6 +35,48 @@ class RefinementFeatures(NamedTuple):
     planar_mask: jnp.ndarray  # (P,)
 
 
+def extended_cloud(pts, mask, image, counter, key_pixels, key_mask,
+                   cfg: PipelineConfig):
+    """Extended-keypoint cloud for refinement ICP, with the degraded-frame
+    fallback.  Shared by ``extract_refinement_features`` and the windowed
+    front end's ``extract_frame_features_full``.
+
+    Fallback: when the extended-keypoint cloud is scarce (heavy dropout /
+    sector occlusion leaves fewer points than the ICP inlier floor could
+    ever admit — ninl=0 at every retry rung, measured on the degraded
+    benchmark), top the buffer up with an even subsample of the raw scan.
+    Branch-free: the raw candidates sit BEHIND the extended keypoints and
+    are masked on only below the scarcity threshold, so a healthy frame's
+    features are untouched (compact keeps front order).
+    """
+    nbr_pts, nbr_mask = extend_keypoints(
+        image, counter, key_pixels, key_mask, cfg.sensor,
+        radius=cfg.keypoint.extend_radius,
+    )
+    flat_pts = nbr_pts.reshape(-1, 3)
+    flat_mask = nbr_mask.reshape(-1)
+    n_ext = jnp.sum(flat_mask)
+    scarce = n_ext < 4 * cfg.icp.min_inliers
+    # even coverage of the VALID prefix (pad_points compacts valid points
+    # to the front): index k -> floor(k * n_valid / max_points).  A plain
+    # stride over the padded buffer mostly samples padding on sparse scans.
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    S = cfg.icp.max_points
+    ridx = (jnp.arange(S, dtype=jnp.int32)
+            * n_valid.astype(jnp.int32)) // jnp.int32(S)
+    raw = pts[ridx, 0:3]
+    # dedup repeated indices (n_valid < S) so duplicate points can't
+    # inflate the ICP inlier count
+    uniq = jnp.concatenate([jnp.ones((1,), bool), ridx[1:] != ridx[:-1]])
+    raw_m = mask[ridx] & scarce & uniq
+    ext_pts, ext_mask, _ = compact(
+        jnp.concatenate([flat_pts, raw]),
+        jnp.concatenate([flat_mask, raw_m]),
+        cfg.icp.max_points, fill=0.0,
+    )
+    return ext_pts, ext_mask
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_refinement_features(respond_params, pts: jnp.ndarray,
                                 mask: jnp.ndarray,
@@ -47,14 +89,8 @@ def extract_refinement_features(respond_params, pts: jnp.ndarray,
     key_pts, key_pixels, key_mask, saliency = select_keypoints(
         image, counter, respond, cfg.sensor, cfg.keypoint
     )
-    nbr_pts, nbr_mask = extend_keypoints(
-        image, counter, key_pixels, key_mask, cfg.sensor,
-        radius=cfg.keypoint.extend_radius,
-    )
-    flat_pts = nbr_pts.reshape(-1, 3)
-    flat_mask = nbr_mask.reshape(-1)
-    ext_pts, ext_mask, _ = compact(
-        flat_pts, flat_mask, cfg.icp.max_points, fill=0.0
+    ext_pts, ext_mask = extended_cloud(
+        pts, mask, image, counter, key_pixels, key_mask, cfg
     )
     planar, planar_mask = extract_planar_points(
         image, counter, saliency, cfg.sensor, max_planar=cfg.icp.max_planar
@@ -65,11 +101,13 @@ def extract_refinement_features(respond_params, pts: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def refine_pair(f0: RefinementFeatures, f1: RefinementFeatures,
                 relR: jnp.ndarray, relT: jnp.ndarray,
-                cfg: PipelineConfig = PipelineConfig()) -> IcpResult:
+                cfg: PipelineConfig = PipelineConfig(),
+                thr_scale=1.0) -> IcpResult:
     """ICP correction of an odometry-predicted relative pose: transform
     frame-1 refinement features by (relR, relT), then hybrid ICP against
     frame 0 (``RefinementCore``, ``RefinePoses.py:281-302``).  The returned
-    (R, t) is the *correction*: refined_rel = R @ relR, R @ relT + t."""
+    (R, t) is the *correction*: refined_rel = R @ relR, R @ relT + t.
+    ``thr_scale`` is the coarse-to-fine retry rung (see ``icp_hybrid``)."""
     p1 = se3.apply(relR, relT, f1.ext_pts[None])[0].astype(jnp.float32)
     pl1_xyz = se3.apply(relR, relT, f1.planar[None, :, 0:3])[0]
     pl1_n = jnp.einsum("ij,pj->pi", relR, f1.planar[:, 3:6])
@@ -77,13 +115,15 @@ def refine_pair(f0: RefinementFeatures, f1: RefinementFeatures,
     return icp_hybrid(
         f0.ext_pts, f0.ext_mask, p1, f1.ext_mask,
         f0.planar, f0.planar_mask, pl1, f1.planar_mask, cfg.icp,
+        thr_scale=thr_scale,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def refine_pairs_batched(f0s: RefinementFeatures, f1s: RefinementFeatures,
                          relRs: jnp.ndarray, relTs: jnp.ndarray,
-                         cfg: PipelineConfig = PipelineConfig()) -> IcpResult:
+                         cfg: PipelineConfig = PipelineConfig(),
+                         thr_scale=1.0) -> IcpResult:
     """Vmapped ``refine_pair`` over a batch of keyframe spans.
 
     The reference refines spans strictly sequentially (``RefineOdometry``,
@@ -96,9 +136,9 @@ def refine_pairs_batched(f0s: RefinementFeatures, f1s: RefinementFeatures,
     Args: ``f0s``/``f1s`` are RefinementFeatures with a leading span axis
     (stack with ``jax.tree.map``); relRs/relTs ``(S, 3, 3)`` / ``(S, 3)``.
     """
-    return jax.vmap(lambda a, b, R, t: refine_pair(a, b, R, t, cfg))(
-        f0s, f1s, relRs, relTs
-    )
+    return jax.vmap(
+        lambda a, b, R, t: refine_pair(a, b, R, t, cfg, thr_scale=thr_scale)
+    )(f0s, f1s, relRs, relTs)
 
 
 def stack_features(features, idx) -> RefinementFeatures:
@@ -126,7 +166,7 @@ def make_batched_icp_fn(features: list,
     ICP compiles exactly once regardless of how many spans a trajectory
     yields."""
 
-    def batched(idx_i, idx_j, relRs, relTs):
+    def batched(idx_i, idx_j, relRs, relTs, thr_scale=1.0):
         S = len(idx_i)
         dRs = np.zeros((S, 3, 3))
         dts = np.zeros((S, 3))
@@ -146,7 +186,8 @@ def make_batched_icp_fn(features: list,
             f0s = stack_features(features, ii)
             f1s = stack_features(features, jj)
             res = refine_pairs_batched(f0s, f1s, jnp.asarray(rR),
-                                       jnp.asarray(rT), cfg)
+                                       jnp.asarray(rT), cfg,
+                                       thr_scale=jnp.float32(thr_scale))
             dRs[sel] = np.asarray(res.R, np.float64)[:n]
             dts[sel] = np.asarray(res.t, np.float64)[:n]
             oks[sel] = np.asarray(res.success)[:n]

@@ -102,15 +102,12 @@ class KeypointConfig:
     # <= -100 disables (parity with the reference, which has no such gate).
     ground_z_max: float = -1.2
     ground_extent_m: float = 0.3
-    # Use the fused Pallas saliency kernel (ops/pallas_nms.py).  It runs the
-    # stencil in 0.04 ms/frame (44,000x the reference cupy kernel) but costs
-    # ~3.5 min of Mosaic compile for the full sensor shape — one-time: the
-    # persistent compilation cache (utils/compcache.py) covers Mosaic, so
-    # warm startups are ~9 s either way.  Measured end-to-end on v5e the
-    # fused 16/64-frame window is the same speed with XLA's lowering (both
-    # sub-ms and latency-bound), so default off; flip on for standalone
-    # saliency workloads where the kernel dominates.
-    use_pallas_nms: bool = False
+    # Use the fused Pallas saliency kernel (ops/pallas_nms.py).  Fetch-synced
+    # A/B on v5e (examples/pallas_ab.py, PALLAS_AB.json): Pallas 1.81 vs XLA
+    # 2.04 ms/frame over the 16-frame batch — Pallas wins, so it is the
+    # default on TPU (ops/nms.py falls back to the XLA path on CPU).  The
+    # one-time Mosaic compile is covered by the persistent compilation cache.
+    use_pallas_nms: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,8 +126,14 @@ class VoxelConfig:
     visible_length: float = 100.0   # +-x
     visible_width: float = 100.0    # +-y
     visible_height: float = 15.0    # +-z
-    # static per-scale capacities for the deduped occupied-voxel lists
-    max_voxels: Tuple[int, int, int] = (131072, 65536, 16384)
+    # static per-scale capacities for the deduped occupied-voxel lists.
+    # Coarse-scale caps are sized ABOVE measured full-res occupancy
+    # (~99.6k / ~85k / ~40k at scales 0/1/2 on KITTI-like ~100k-pt scans,
+    # occupancy_stats): the previous (131072, 65536, 16384) silently
+    # truncated 23% of scale-1 and 59% of scale-2 voxels — and because the
+    # list is supercell-SORTED, the drop was systematic (one side of the
+    # scene), quietly degrading the coarse descriptor context.
+    max_voxels: Tuple[int, int, int] = (131072, 98304, 49152)
     # per-scale neighbor candidates for patch gather (reference used 496-NN,
     # Voxel.py:182; we use an MXU-friendly 512 via approx_max_k)
     patch_knn: int = 512
@@ -246,10 +249,10 @@ class IcpConfig:
     min_inliers: int = 100
     max_points: int = 8192           # fixed-size subsample per cloud
     max_planar: int = 2048           # reference nMaxPts=2000, rounded up
-    # correspondence search backend: False = chunked XLA distance matmul,
-    # True = the Pallas streaming argmin kernel (ops/pallas_nn.py).  See
-    # ROADMAP "Pallas settlement" for the measured comparison.
-    use_pallas_nn: bool = False
+    # Correspondence search is the chunked XLA distance matmul.  A Pallas
+    # streaming-argmin kernel was A/B'd fetch-synced on v5e and LOST
+    # (1.93 vs 1.81 ms/call, PALLAS_AB.json) — and could not batch under
+    # vmap for the Jacobi refine path — so it was deleted (r4).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -270,6 +273,14 @@ class RefineConfig:
     # reference gates above.  False = reference behavior (refine all).
     skip_trusted_spans: bool = True
     max_transfer_frames: int = 20    # keyframe chain cap (RefinePoses.py:374-400)
+    # Distribute an accepted multi-frame span correction smoothly over the
+    # intermediate frames (``backward_update``) instead of dumping it all on
+    # the span endpoint.  The reference implements this but ships it
+    # commented out (``BackwardUpdatePoses``, RefinePoses.py:149-229,
+    # disabled at :325-327); here it is live by default — endpoint-only
+    # updates leave a kink at frame j-1 -> j that the distributed form
+    # removes.
+    backward_distribute: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

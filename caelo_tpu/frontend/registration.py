@@ -71,18 +71,12 @@ def _extract(respond_params, encoder_params, pts: jnp.ndarray,
     )
     ref_feats = None
     if with_refine:
-        from ..backend.refine_runner import RefinementFeatures
-        from ..ops.masking import compact
+        from ..backend.refine_runner import (RefinementFeatures,
+                                             extended_cloud)
         from ..projection.normals import extract_planar_points
-        from ..projection.spherical import extend_keypoints
 
-        nbr_pts, nbr_mask = extend_keypoints(
-            image, counter, key_pixels, key_mask, cfg.sensor,
-            radius=cfg.keypoint.extend_radius,
-        )
-        ext_pts, ext_mask, _ = compact(
-            nbr_pts.reshape(-1, 3), nbr_mask.reshape(-1),
-            cfg.icp.max_points, fill=0.0,
+        ext_pts, ext_mask = extended_cloud(
+            pts, mask, image, counter, key_pixels, key_mask, cfg
         )
         planar, planar_mask = extract_planar_points(
             image, counter, saliency, cfg.sensor, max_planar=cfg.icp.max_planar

@@ -69,18 +69,40 @@ def make_sequence_processor(cfg: PipelineConfig = PipelineConfig(),
                                          register_pair_with_prior)
 
     def process(respond_params, encoder_params, pts, mask, key):
+        # Windows beyond 16 frames chunk the per-frame extraction through
+        # lax.map so the scale-0 bit table (~84 MB/frame live inside one
+        # frame's extraction) is bounded by the chunk, not the window —
+        # this is what restores the 64-frame window the r3 table design
+        # could not compile.  At <=16 frames a plain vmap (one fused
+        # program, no sequencing) is used.
+        B0 = pts.shape[0]
+        chunk = 16
+
+        def mapped(fn):
+            if B0 <= chunk:
+                return jax.vmap(fn)(pts, mask)
+            pad = (-B0) % chunk
+            pp = jnp.concatenate([pts, pts[:pad]]) if pad else pts
+            mm = jnp.concatenate([mask, mask[:pad]]) if pad else mask
+            n_ch = pp.shape[0] // chunk
+            out = jax.lax.map(
+                lambda ab: jax.vmap(fn)(*ab),
+                (pp.reshape((n_ch, chunk) + pp.shape[1:]),
+                 mm.reshape((n_ch, chunk) + mm.shape[1:])),
+            )
+            return jax.tree.map(
+                lambda x: x.reshape((n_ch * chunk,) + x.shape[2:])[:B0], out)
+
         if with_refine:
-            feats, ref_feats = jax.vmap(
+            feats, ref_feats = mapped(
                 lambda p, m: extract_frame_features_full(
                     respond_params, encoder_params, p, m, cfg
-                )
-            )(pts, mask)
+                ))
         else:
-            feats = jax.vmap(
+            feats = mapped(
                 lambda p, m: extract_frame_features(
                     respond_params, encoder_params, p, m, cfg
-                )
-            )(pts, mask)
+                ))
             ref_feats = None
         B = pts.shape[0]
         f0 = jax.tree.map(lambda x: x[:-1], feats)
@@ -164,18 +186,19 @@ def make_sharded_icp_fn(features, mesh: Mesh,
     rep = NamedSharding(mesh, P())
 
     solve = jax.jit(
-        lambda f, ii, jj, rR, rT: (
+        lambda f, ii, jj, rR, rT, ts: (
             lambda res: (res.R, res.t, res.success)
-        )(jax.vmap(lambda a, b, R, t: refine_pair(a, b, R, t, cfg))(
+        )(jax.vmap(lambda a, b, R, t: refine_pair(a, b, R, t, cfg,
+                                                  thr_scale=ts))(
             jax.tree.map(lambda x: x[ii], f),
             jax.tree.map(lambda x: x[jj], f), rR, rT)),
-        in_shardings=(rep, data, data, data, data),
+        in_shardings=(rep, data, data, data, data, rep),
         out_shardings=(data, data, data),
     )
 
     import numpy as np
 
-    def batched(idx_i, idx_j, relRs, relTs):
+    def batched(idx_i, idx_j, relRs, relTs, thr_scale=1.0):
         n = len(idx_i)
         dRs = np.zeros((n, 3, 3))
         dts = np.zeros((n, 3))
@@ -194,7 +217,8 @@ def make_sharded_icp_fn(features, mesh: Mesh,
             ).astype(np.float32)
             R, t, ok = solve(feats, jnp.asarray(ii, jnp.int32),
                              jnp.asarray(jj, jnp.int32),
-                             jnp.asarray(rR), jnp.asarray(rT))
+                             jnp.asarray(rR), jnp.asarray(rT),
+                             jnp.float32(thr_scale))
             dRs[sel] = np.asarray(R, np.float64)[:k]
             dts[sel] = np.asarray(t, np.float64)[:k]
             oks[sel] = np.asarray(ok)[:k]

@@ -128,12 +128,19 @@ def stage_refinement(poses_dj, ref_feats, inlier_pairs, R_tr, t_tr,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _verify_loop_candidates(key, feats, idx_i, idx_j, yaws,
+def _verify_loop_candidates(key, feats, idx_i, idx_j, yaws, allow_prior,
                             cfg: PipelineConfig):
     """Geometric verification of all loop candidates in ONE device call:
     plain registration per pair, then a ScanContext-yaw-prior retry (wide
     gate: the prior carries no translation) selected only where the plain
-    pass failed.  Each pair gets its own fold_in-derived PRNG key."""
+    pass failed AND ``allow_prior`` is set.  Each pair gets its own
+    fold_in-derived PRNG key.
+
+    ``allow_prior`` must be False for the sequence-consistency NEIGHBOR
+    pairs: a prior derived from the candidate's own alignment hypothesis
+    biases the independent check toward confirming that hypothesis
+    (measured: the prior-rescued neighbor verification admitted an aliased
+    parallel-canyon edge the prior-free check rejects)."""
     from .backend.scancontext import yaw_rotation
     from .frontend.registration import register_pair_with_prior
 
@@ -151,7 +158,7 @@ def _verify_loop_candidates(key, feats, idx_i, idx_j, yaws,
             k, a, b, yaw_rotation(y), jnp.zeros(3, jnp.float32), cfg,
             gate_m=15.0)
     )(keys2, f_i, f_j, yaws)
-    use2 = (~regs.success) & regs2.success
+    use2 = allow_prior & (~regs.success) & regs2.success
     sel = lambda r2, r1: jax.tree.map(
         lambda a, b: jnp.where(
             use2.reshape((-1,) + (1,) * (a.ndim - 1)), a, b), r2, r1)
@@ -212,22 +219,30 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         t = W_R[a].T @ (W_t[b] - W_t[a])
         return R, t
 
+    # odometry path length prefix (for the drift-plausibility bound)
+    step_len = np.linalg.norm(rel_ts64, axis=1)
+    path_prefix = np.concatenate([[0.0], np.cumsum(step_len)])
+
     GATE_D = 10
+    DRIFT_FLOOR_M = 12.0
+    DRIFT_FRAC = 0.15
     neighbor_regs = {}
 
     def register_batch_fn(idx_i, idx_j, yaws):
         n = len(idx_i)
         # candidate pairs + their consistency-gate neighbor pairs (i+d, j+d),
-        # verified together in ONE device call
+        # verified together in ONE device call; the neighbor block runs
+        # WITHOUT the yaw-prior rescue (see _verify_loop_candidates)
         d_arr = np.minimum(GATE_D, n_frames - 1 - np.maximum(idx_i, idx_j))
         d_arr = np.maximum(d_arr, 0)
         all_i = np.concatenate([idx_i, idx_i + d_arr])
         all_j = np.concatenate([idx_j, idx_j + d_arr])
         all_y = np.concatenate([yaws, yaws])
+        allow = np.concatenate([np.ones(n, bool), np.zeros(n, bool)])
         Rs, ts, oks, nis = _verify_loop_candidates(
             key, stacked,
             jnp.asarray(all_i, jnp.int32), jnp.asarray(all_j, jnp.int32),
-            jnp.asarray(all_y, jnp.float32), loop_cfg,
+            jnp.asarray(all_y, jnp.float32), jnp.asarray(allow), loop_cfg,
         )
         Rs, ts = np.asarray(Rs), np.asarray(ts)
         oks, nis = np.asarray(oks), np.asarray(nis)
@@ -237,6 +252,23 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         return Rs[:n], ts[:n], oks[:n], nis[:n]
 
     def edge_gate_fn(i, j, R, t, tol_t=1.5, tol_deg=3.0):
+        A_R = np.asarray(R, np.float64)
+        A_t = np.asarray(t, np.float64)
+        # Drift-plausibility bound: the correction a loop edge implies
+        # (odometry-chained rel(i,j) vs the measured one) cannot exceed
+        # plausible odometry drift over the i..j path — a generous 15% of
+        # path length (real drift here is ~2%; KITTI-class odometry ~1%).
+        # An aliased match between PARALLEL street canyons implies a
+        # map-scale correction (measured: 83 m over a 318 m path = 26% from
+        # the [171, 460] false edge) that no amount of genuine drift
+        # explains, while the true circuit closure implied 13.5 m over
+        # 570 m = 2.4%.
+        Rij, tij = chain_rel(i, j)
+        path = float(path_prefix[j] - path_prefix[i])
+        if np.linalg.norm(A_t - tij) > max(DRIFT_FLOOR_M, DRIFT_FRAC * path):
+            return False
+        # Sequence-consistency (SeqSLAM) gate against the prior-free
+        # neighbor registration
         d, R2, t2, ok2 = neighbor_regs[(i, j)]
         if d <= 0:
             return True
@@ -244,8 +276,6 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
             return False
         Ri, ti = chain_rel(i, i + d)
         Rj, tj = chain_rel(j, j + d)
-        A_R = np.asarray(R, np.float64)
-        A_t = np.asarray(t, np.float64)
         # predicted rel(i+d, j+d) = inv(rel(i,i+d)) o A o rel(j,j+d)
         pR = Ri.T @ A_R @ Rj
         pt = Ri.T @ (A_R @ tj + A_t - ti)

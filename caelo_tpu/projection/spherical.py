@@ -54,22 +54,31 @@ def project_to_spherical_ring(pts: jnp.ndarray, mask: jnp.ndarray,
     inb = valid & (row >= 0) & (row < H)
     flat = jnp.where(inb, row * W + col, H * W)  # H*W = trash slot
 
-    # pass 1: min range per cell
-    minr = jnp.full((H * W + 1,), jnp.inf, jnp.float32).at[flat].min(
-        jnp.where(inb, r, jnp.inf)
-    )
-    # pass 2: elect one winner point per cell (max point index among min-range ties)
-    is_min = inb & (r <= minr[flat])
+    # Winner election in ONE scatter-min of a packed (quantized-range,
+    # point-index) key: range in the high bits at 1/64 m (1.56 cm)
+    # resolution — far below the sensor noise floor — with the point index
+    # breaking ties inside a bucket (lowest index wins); ranges beyond
+    # 2^(30-idx_bits)/64 m (128 m for 131072-point scans — past every
+    # consumer's gate) share the top bucket.  The two-pass
+    # exact-min formulation this replaces (scatter-min range + gather +
+    # scatter-max winner) costs two extra 131k-element scatter/gather
+    # passes; r3 measured the hot stages bound by element-op COUNT.
     n = pts.shape[0]
+    idx_bits = max(n - 1, 1).bit_length()
+    rq = jnp.minimum((r * 64.0).astype(jnp.int32), (1 << (30 - idx_bits)) - 1)
     idx = jnp.arange(n, dtype=jnp.int32)
-    win = jnp.full((H * W + 1,), -1, jnp.int32).at[flat].max(
-        jnp.where(is_min, idx, -1)
-    )
-    win = win[: H * W]
-    occupied = win >= 0
-    winner = jnp.where(occupied, win, 0)
-    feat = jnp.concatenate([pts[:, :4], r[:, None]], axis=1)
-    image = jnp.where(occupied[:, None], feat[winner], 0.0)
+    big = jnp.iinfo(jnp.int32).max
+    packed = jnp.where(inb, (rq << idx_bits) | idx, big)
+    best = jnp.full((H * W + 1,), big, jnp.int32).at[flat].min(packed)
+    win = best[: H * W]
+    occupied = win != big
+    winner = jnp.where(occupied, win & ((1 << idx_bits) - 1), 0)
+    g = pts[winner, :4]
+    # the range channel is recomputed from the winner's own x,y,z — the
+    # same sqrt expression that produced ``r``, so bit-identical to it
+    rw = jnp.sqrt(jnp.sum(g[:, 0:3] * g[:, 0:3], axis=1))
+    image = jnp.where(occupied[:, None],
+                      jnp.concatenate([g, rw[:, None]], axis=1), 0.0)
     image = image.reshape(H, W, 5)
 
     counter = jnp.zeros((H * W + 1,), jnp.int32).at[flat].add(

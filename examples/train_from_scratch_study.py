@@ -97,15 +97,20 @@ def train_both(cfg: PipelineConfig, steps2d: int, steps3d: int, out: str):
     return respond_trained, encoder_trained, losses2, losses3
 
 
-def _hard_pairs(n_pairs: int, cfg: PipelineConfig, seed: int = 7):
-    """Consecutive ray-cast pairs from the hard benchmark (occlusion,
-    moving cars, turn frames) — the item-3 quality bar, reused here."""
+def _hard_pairs(n_pairs: int, cfg: PipelineConfig, seed: int = 7,
+                span: int = 220):
+    """Ray-cast pairs sampled EVENLY across a ``span``-frame stretch of the
+    hard circuit — covering straights AND the 20 deg/s turns (a
+    consecutive-from-frame-0 sample sees only the first straight)."""
     from caelo_tpu.data.hard_synthetic import generate_benchmark
 
-    scans, gt = generate_benchmark(n_frames=n_pairs + 1, seed=seed, cfg=cfg)
+    span = max(span, n_pairs + 1)
+    scans, gt = generate_benchmark(n_frames=span, seed=seed, cfg=cfg)
     gt = gt.reshape(-1, 3, 4)
+    starts = np.unique((np.arange(n_pairs) * (span - 1)) // max(n_pairs, 1))
     out = []
-    for i in range(n_pairs):
+    for i in starts[:n_pairs]:
+        i = int(i)
         R0, t0 = gt[i, :, :3], gt[i, :, 3]
         R1, t1 = gt[i + 1, :, :3], gt[i + 1, :, 3]
         # frame-1 -> frame-0: x0 = R0^T (R1 x1 + t1 - t0)
@@ -166,13 +171,25 @@ def main():
     ap.add_argument("--hard-pairs", type=int, default=8,
                     help="also score on hard ray-cast pairs (0 = skip)")
     ap.add_argument("--out", default="runs/scratch")
+    ap.add_argument("--eval-only", default="",
+                    help="skip training; load respond_ae/patch_ae "
+                         "checkpoints from this directory")
     args = ap.parse_args()
 
     cfg = PipelineConfig()
-    respond_t, encoder_t, l2, l3 = train_both(
-        cfg, args.steps2d, args.steps3d, args.out)
-    print(f"respond loss {l2[0]:.5f} -> {l2[-1]:.5f}; "
-          f"patch loss {l3[0]:.5f} -> {l3[-1]:.5f}", flush=True)
+    if args.eval_only:
+        p2 = weights_io.load_checkpoint(
+            os.path.join(args.eval_only, "respond_ae"))
+        p3 = weights_io.load_checkpoint(
+            os.path.join(args.eval_only, "patch_ae"))
+        respond_t = weights_io.respond_params_from_ae(p2)
+        encoder_t = weights_io.encoder_params_from_ae(p3)
+        l2 = l3 = [float("nan"), float("nan")]
+    else:
+        respond_t, encoder_t, l2, l3 = train_both(
+            cfg, args.steps2d, args.steps3d, args.out)
+        print(f"respond loss {l2[0]:.5f} -> {l2[-1]:.5f}; "
+              f"patch loss {l3[0]:.5f} -> {l3[-1]:.5f}", flush=True)
 
     # trained checkpoints use the training activations (relu convs + linear
     # code); the shipped artifact is tanh (see models/patch_encoder.py)

@@ -4,7 +4,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from caelo_tpu.ops.pallas_nms import saliency_map_pallas
-from caelo_tpu.ops.pallas_nn import nearest_neighbor_pallas
 
 
 def test_pallas_saliency_matches_oracle(rng):
@@ -34,22 +33,3 @@ def test_pallas_saliency_matches_oracle(rng):
     fin = np.isfinite(md_ref)
     np.testing.assert_array_equal(np.isfinite(md), fin)
     np.testing.assert_allclose(md[fin], md_ref[fin], atol=1e-4)
-
-
-def test_pallas_nn_matches_kdtree(rng):
-    from scipy.spatial import cKDTree
-
-    ref = rng.uniform(-30, 30, (3000, 3)).astype(np.float32)
-    q = rng.uniform(-30, 30, (700, 3)).astype(np.float32)
-    qm = np.ones(700, bool)
-    qm[-20:] = False
-    rm = np.ones(3000, bool)
-    rm[-100:] = False
-    idx, dist = nearest_neighbor_pallas(
-        jnp.asarray(q), jnp.asarray(qm), jnp.asarray(ref), jnp.asarray(rm),
-        interpret=True,
-    )
-    d_ref, i_ref = cKDTree(ref[:2900]).query(q[:680])
-    np.testing.assert_array_equal(np.asarray(idx)[:680], i_ref)
-    np.testing.assert_allclose(np.asarray(dist)[:680], d_ref, atol=1e-5)
-    assert np.isinf(np.asarray(dist)[-20:]).all()

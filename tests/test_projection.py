@@ -11,15 +11,19 @@ from caelo_tpu.ops.masking import pad_points
 from caelo_tpu.projection import spherical
 
 
-def numpy_oracle(pts, cfg: SensorConfig):
+def numpy_oracle(pts, cfg: SensorConfig, n_padded=8192):
+    """Reference binning with the framework's collision rule: nearest by
+    1/64 m-quantized range, lowest point index breaking bucket ties
+    (the packed scatter-min key in ``project_to_spherical_ring``)."""
     H, W = cfg.img_h, cfg.img_w
     img = np.zeros((H, W, 5), np.float32)
     cnt = np.zeros((H, W), np.int32)
-    best_r = np.full((H, W), np.inf)
-    best_i = np.full((H, W), -1, np.int64)
+    idx_bits = max(int(n_padded) - 1, 1).bit_length()
+    rq_max = (1 << (30 - idx_bits)) - 1
+    best = np.full((H, W), np.iinfo(np.int64).max, np.int64)
     for i, p in enumerate(pts):
         x, y, z = p[:3]
-        r = np.sqrt(x * x + y * y + z * z)
+        r = np.sqrt(np.float32(x * x + y * y + z * z))
         if r <= 0:
             continue
         col = int(np.floor((np.pi - np.arctan2(y, x)) / cfg.azimuth_res))
@@ -30,9 +34,9 @@ def numpy_oracle(pts, cfg: SensorConfig):
         if row < 0 or row >= H:
             continue
         cnt[row, col] += 1
-        if r < best_r[row, col] or (r == best_r[row, col] and i > best_i[row, col]):
-            best_r[row, col] = r
-            best_i[row, col] = i
+        key = (min(int(np.float32(r * 64.0)), rq_max) << idx_bits) | i
+        if key < best[row, col]:
+            best[row, col] = key
             img[row, col, :4] = p[:4]
             img[row, col, 4] = r
     return img, cnt

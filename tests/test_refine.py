@@ -162,9 +162,15 @@ def _apply_rel(pose0, R, t):
 
 
 def _as_batched(icp_fn):
-    """Lift a scalar icp_fn into the batched contract."""
-    def batched(idx_i, idx_j, relRs, relTs):
-        out = [icp_fn(int(a), int(b), R, t)
+    """Lift a scalar icp_fn into the batched contract (thr_scale is the
+    coarse-to-fine retry rung, forwarded if the scalar fn takes it)."""
+    import inspect
+
+    takes_scale = "thr_scale" in inspect.signature(icp_fn).parameters
+
+    def batched(idx_i, idx_j, relRs, relTs, thr_scale=1.0):
+        kw = {"thr_scale": thr_scale} if takes_scale else {}
+        out = [icp_fn(int(a), int(b), R, t, **kw)
                for a, b, R, t in zip(idx_i, idx_j, relRs, relTs)]
         return (np.stack([o[0] for o in out]),
                 np.stack([o[1] for o in out]),
@@ -220,6 +226,71 @@ def test_refine_batched_matches_sequential_with_chains():
     assert any(j - i > 1 for i, j in seq_stats.refined)  # real chains formed
     np.testing.assert_allclose(bat, seq, atol=1e-9)
     assert bat_stats.refined == seq_stats.refined
+
+
+def test_refine_retry_ladder_rescues_failed_steps():
+    """A step that fails at the default ICP gate but succeeds at a wider
+    rung is rescued by the coarse-to-fine ladder (pass 3)."""
+    poses = straight_trajectory(6)
+    drifted = poses.copy()
+    drifted[3:, 7] += 2.0   # one bad step at pair (2, 3)
+
+    def icp_fn(i, j, relR, relT, thr_scale=1.0):
+        true_t = np.array([1.0 * (j - i), 0.0, 0.0])
+        err = np.linalg.norm(relT - true_t)
+        if err > 0.5 * thr_scale:     # gate too tight at rung 1
+            return np.eye(3), np.zeros(3), False
+        return np.eye(3), true_t - relT, True
+
+    out, stats = refine.refine_odometry_batched(
+        drifted, _as_batched(icp_fn), refine._rel, _apply_rel
+    )
+    assert (2, 3) in stats.refined       # rescued at a wider rung
+    assert not stats.failed
+    np.testing.assert_allclose(out[:, 7], 0.0, atol=1e-9)
+
+
+def test_refine_distributes_span_correction():
+    """With backward_distribute (default), an accepted multi-frame span
+    correction spreads over the intermediate frames instead of landing as a
+    kink at the endpoint; the endpoint and tail match the forward-only
+    variant exactly."""
+    import dataclasses
+
+    poses = straight_trajectory(10)
+    drifted = poses.copy()
+    for i in range(1, 10):
+        drifted[i, 7] = 0.05 * i
+    pairs = [(np.array([5, 6, 7]), np.array([5, 6, 7])) for _ in range(9)]
+
+    def icp_fn(i, j, relR, relT):
+        true_t = np.array([1.0 * (j - i), 0.0, 0.0])
+        return np.eye(3), true_t - relT, True
+
+    cfg_fwd = dataclasses.replace(RefineConfig(), backward_distribute=False)
+    out_b, st_b = refine.refine_odometry(
+        drifted, icp_fn, refine._rel, _apply_rel, inlier_idx_pairs=pairs
+    )
+    out_f, st_f = refine.refine_odometry(
+        drifted, icp_fn, refine._rel, _apply_rel, inlier_idx_pairs=pairs,
+        cfg=cfg_fwd,
+    )
+    assert st_b.refined == st_f.refined
+    spans = [s for s in st_b.refined if s[1] - s[0] > 1]
+    assert spans
+    i, j = spans[0]
+    # endpoints agree between the two modes...
+    np.testing.assert_allclose(out_b[j], out_f[j], atol=1e-9)
+    # ...but the distributed mode moves an intermediate frame toward the
+    # corrected line while forward-only leaves it at the drifted value
+    mid = (i + j) // 2
+    assert abs(out_b[mid, 7]) < abs(out_f[mid, 7]) - 1e-3
+    # batched path distributes identically
+    out_bb, _ = refine.refine_odometry_batched(
+        drifted, _as_batched(icp_fn), refine._rel, _apply_rel,
+        inlier_idx_pairs=pairs,
+    )
+    np.testing.assert_allclose(out_bb, out_b, atol=1e-9)
 
 
 def test_refine_batched_single_step_fallback():

@@ -113,7 +113,8 @@ def detect_and_close(features, register_fn: Callable = None,
                      use_scan_context: bool = False,
                      sc_min_score: float = 0.25,
                      register_batch_fn: Callable = None,
-                     edge_gate_fn: Callable = None) -> LoopClosures:
+                     edge_gate_fn: Callable = None,
+                     frame_valid=None) -> LoopClosures:
     """Full loop-closure pass over a sequence's FrameFeatures.
 
     Args:
@@ -134,6 +135,10 @@ def detect_and_close(features, register_fn: Callable = None,
         accepted set is identical to the sequential path (acceptance of one
         candidate never changes another's verification result; dedup is
         applied to the batched results in the same score order).
+      frame_valid: optional ``(N,)`` bool — frames eligible for place
+        recognition (e.g. the pipeline's sensor-health gate: degraded
+        frames alias heavily in descriptor space and would saturate the
+        candidate list with burst-to-burst pairs).
       edge_gate_fn: optional ``(i, j, R, t) -> bool`` — a final plausibility
         gate on a geometrically-verified candidate (e.g. the drift-bound
         consistency check in ``pipeline.stage_loop_closure``: a loop
@@ -148,6 +153,8 @@ def detect_and_close(features, register_fn: Callable = None,
         stacked.descriptors, stacked.mask, stacked.key_pts,
         with_sc=use_scan_context,
     )
+    if frame_valid is not None:
+        valid = valid & jnp.asarray(np.asarray(frame_valid, bool))
     pi, pj, score, pmask = loop_candidates(
         gd, valid, min_gap=min_gap, max_candidates=max_candidates
     )

@@ -123,8 +123,20 @@ def backward_update(poses, frame0, frame1, new_pose, rel_Rs, rel_ts):
         )
     # exactness check (reference asserts verifyNorm < 0.01, :222-226)
     Rv, tv = _rel(poses[frame1], new_pose)
-    assert np.linalg.norm(_euler_deg(Rv)) < 1e-6 and np.linalg.norm(tv) < 1e-6
+    err_deg = float(np.linalg.norm(_euler_deg(Rv)))
+    err_t = float(np.linalg.norm(tv))
+    if err_deg > 1e-6 or err_t > 1e-6:
+        raise BackwardUpdateInexact(
+            f"backward_update verification failed: span ({frame0}, {frame1})"
+            f" err {err_deg:.3e} deg / {err_t:.3e} m; "
+            f"d_euler_deg={np.degrees(d_euler) * n}, d_t={d_t * n}")
     return poses, rel_Rs, rel_ts
+
+
+class BackwardUpdateInexact(AssertionError):
+    """The distributed span correction failed its end-point verification
+    (e.g. an Euler-decomposition edge case); callers fall back to the
+    endpoint-only forward update."""
 
 
 def fix_jump_poses(poses, cfg: RefineConfig = RefineConfig(),
@@ -158,6 +170,16 @@ def fix_jump_poses(poses, cfg: RefineConfig = RefineConfig(),
     eul = np.array([_euler_deg(R) for R in rel_Rs])
     for i in range(2, len(poses) - 1):
         if pair_trusted is not None and bool(pair_trusted[i - 1]):
+            continue
+        if pair_trusted is not None and not bool(pair_trusted[i - 2]):
+            # The constant-velocity replacement SOURCES the previous rel;
+            # if that pair is itself untrusted, propagating it cascades one
+            # guess into a run of them — through a 40-frame degraded burst
+            # over a turn this painted a straight line across the corner
+            # (measured: ATE 48.5 -> 62.4 m).  Leave the estimate for the
+            # refinement stage, whose ICP re-registers untrusted spans from
+            # actual geometry.  The reference has no trust signal and
+            # always propagates (``RefinePoses.py:233-262``).
             continue
         # SIGNED vector diffs, matching ``Transformations.py:148``
         # (norm(RelEulers[i+1] - RelEulers[i])): an abs-before-diff variant
@@ -283,8 +305,15 @@ def _apply_correction(poses, i, j, new_pose, rel_Rs, rel_ts,
     ``cfg.backward_distribute`` (the reference's disabled
     ``BackwardUpdatePoses``, live here), then re-chain the tail."""
     if cfg.backward_distribute and j - i > 1:
-        poses, rel_Rs, rel_ts = backward_update(poses, i, j, new_pose,
-                                                rel_Rs, rel_ts)
+        try:
+            poses, rel_Rs, rel_ts = backward_update(poses, i, j, new_pose,
+                                                    rel_Rs, rel_ts)
+        except BackwardUpdateInexact as e:
+            # distribution is a smoothing nicety; the endpoint-only update
+            # below is always exact
+            import warnings
+
+            warnings.warn(str(e))
     return forward_update(poses, j, new_pose, rel_Rs, rel_ts)
 
 
@@ -359,6 +388,24 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
     skipped = [s for s in spans if span_trusted_pre(s, pair_trusted, cfg)]
     spans = [s for s in spans if not span_trusted_pre(s, pair_trusted, cfg)]
     stats.skipped.extend(skipped)
+    if pair_trusted is not None:
+        # A span containing UNTRUSTED pairs is refined pair-by-pair: the
+        # span formulation corrects only the endpoint relative pose and
+        # interpolates the interior, which leaves a wrong-but-confident
+        # burst (e.g. sensor degradation through a turn) essentially
+        # uncorrected (measured: 43 span refinements moved ATE 49.5 ->
+        # 46.9 m; single-step re-registration of the same region is the
+        # actual repair).  Chains exist in the reference for CPU economy —
+        # batched TPU ICP pays nothing for the extra spans.
+        out = []
+        for (i, j) in spans:
+            if j - i > 1 and not np.all(np.asarray(pair_trusted[i:j], bool)):
+                out.extend((a, a + 1) for a in range(i, j)
+                           if not span_trusted_pre((a, a + 1), pair_trusted,
+                                                   cfg))
+            else:
+                out.append((i, j))
+        spans = out
     if not spans:
         return poses, stats
 

@@ -41,13 +41,16 @@ def extended_cloud(pts, mask, image, counter, key_pixels, key_mask,
     fallback.  Shared by ``extract_refinement_features`` and the windowed
     front end's ``extract_frame_features_full``.
 
-    Fallback: when the extended-keypoint cloud is scarce (heavy dropout /
-    sector occlusion leaves fewer points than the ICP inlier floor could
-    ever admit — ninl=0 at every retry rung, measured on the degraded
-    benchmark), top the buffer up with an even subsample of the raw scan.
-    Branch-free: the raw candidates sit BEHIND the extended keypoints and
-    are masked on only below the scarcity threshold, so a healthy frame's
-    features are untouched (compact keeps front order).
+    Any slots the extended keypoints leave unfilled are topped up with an
+    even subsample of the raw scan (the raw candidates sit BEHIND the
+    extended keypoints; compact keeps front order).  Degraded frames NEED
+    this: sector occlusion / heavy dropout leaves salient-point clouds so
+    sparse and unrepeatable that consecutive frames barely overlap —
+    measured on the degraded benchmark, refinement ICP on ext-only clouds
+    either starved (ninl=0 at every retry rung, CI scale) or converged to
+    biased optima that made ATE worse (full scale); dense raw fill fixed
+    both.  Healthy frames usually fill the buffer with extended keypoints
+    alone, and their spans are trusted and skip refinement anyway.
     """
     nbr_pts, nbr_mask = extend_keypoints(
         image, counter, key_pixels, key_mask, cfg.sensor,
@@ -55,8 +58,6 @@ def extended_cloud(pts, mask, image, counter, key_pixels, key_mask,
     )
     flat_pts = nbr_pts.reshape(-1, 3)
     flat_mask = nbr_mask.reshape(-1)
-    n_ext = jnp.sum(flat_mask)
-    scarce = n_ext < 4 * cfg.icp.min_inliers
     # even coverage of the VALID prefix (pad_points compacts valid points
     # to the front): index k -> floor(k * n_valid / max_points).  A plain
     # stride over the padded buffer mostly samples padding on sparse scans.
@@ -68,7 +69,7 @@ def extended_cloud(pts, mask, image, counter, key_pixels, key_mask,
     # dedup repeated indices (n_valid < S) so duplicate points can't
     # inflate the ICP inlier count
     uniq = jnp.concatenate([jnp.ones((1,), bool), ridx[1:] != ridx[:-1]])
-    raw_m = mask[ridx] & scarce & uniq
+    raw_m = mask[ridx] & uniq
     ext_pts, ext_mask, _ = compact(
         jnp.concatenate([flat_pts, raw]),
         jnp.concatenate([flat_mask, raw_m]),

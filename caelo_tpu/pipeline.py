@@ -168,8 +168,12 @@ def _verify_loop_candidates(key, feats, idx_i, idx_j, yaws, allow_prior,
 
 def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
                        cfg: PipelineConfig, min_loop_gap: int = 100,
-                       seed: int = 0):
+                       seed: int = 0, frame_healthy=None):
     """Loop closure + pose-graph solve: poses___ -> poses____.
+
+    ``rel_Rs``/``rel_ts`` are accepted for API compatibility but unused:
+    every chain and graph edge derives from ``poses_ref`` so the solve
+    preserves the de-jump/refinement corrections (see note below).
 
     Returns ``(poses_final, n_loops, loop_edge_i, loop_edge_j)``.
     """
@@ -197,24 +201,28 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
     # corrections map-scale as well (measured at 520 frames).
     #
     # Seq-scale engineering: local odometry rels come from prefix
-    # compositions (O(1) per lookup, one O(N) host-f64 chain), and the
-    # neighbor registrations ride in the SAME batched device call as the
-    # candidates themselves — the per-candidate dispatch + O(N) chain walk
-    # of the r3 design cost ~80 s at 520 frames and scales as O(N * C).
-    rel_Rs64 = np.asarray(rel_Rs, np.float64).reshape(-1, 3, 3)
-    rel_ts64 = np.asarray(rel_ts, np.float64).reshape(-1, 3)
-    n_frames = rel_Rs64.shape[0] + 1
-    W_R = np.empty((n_frames, 3, 3))
-    W_t = np.empty((n_frames, 3))
-    W_R[0] = np.eye(3)
-    W_t[0] = 0.0
-    for k in range(n_frames - 1):
-        W_R[k + 1] = W_R[k] @ rel_Rs64[k]
-        W_t[k + 1] = W_R[k] @ rel_ts64[k] + W_t[k]
+    # compositions (O(1) per lookup), and the neighbor registrations ride
+    # in the SAME batched device call as the candidates themselves — the
+    # per-candidate dispatch + O(N) chain walk of the r3 design cost ~80 s
+    # at 520 frames and scales as O(N * C).
+    #
+    # All chains/graph edges derive from the INPUT poses (poses_ref: after
+    # de-jump + refinement), not the raw odometry rels: building the pose
+    # graph's odometry edges from raw rels silently DISCARDS the earlier
+    # stages' corrections in the solve (measured on the degraded benchmark:
+    # de-jump took ATE 43.3 -> 11.3 m, then the raw-edge graph pulled the
+    # solution back toward the corrupted chain).
+    P = np.asarray(poses_ref, np.float64).reshape(-1, 3, 4)
+    W_R = np.einsum("nij,jk->nik", P[:, :, :3], np.asarray(R_tr))
+    W_t = (np.einsum("nij,j->ni", P[:, :, :3], np.asarray(t_tr))
+           + P[:, :, 3])
+    n_frames = W_R.shape[0]
+    rel_Rs64 = np.einsum("nji,njk->nik", W_R[:-1], W_R[1:])
+    rel_ts64 = np.einsum("nji,nj->ni", W_R[:-1], W_t[1:] - W_t[:-1])
 
     def chain_rel(a, b):
-        """Odometry rel pose mapping frame b into frame a (prefix-composed:
-        rel(a,b) = W_a^-1 W_b)."""
+        """Trajectory rel pose mapping frame b into frame a (prefix-
+        composed: rel(a,b) = W_a^-1 W_b)."""
         R = W_R[a].T @ W_R[b]
         t = W_R[a].T @ (W_t[b] - W_t[a])
         return R, t
@@ -287,21 +295,18 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
 
     loops = detect_and_close(stacked, register_batch_fn=register_batch_fn,
                              min_gap=min_loop_gap, use_scan_context=True,
-                             edge_gate_fn=edge_gate_fn)
+                             edge_gate_fn=edge_gate_fn,
+                             frame_valid=frame_healthy)
     n_loops = loops.n_accepted
     loop_ei = np.asarray(loops.edges.edge_i, np.int32)
     loop_ej = np.asarray(loops.edges.edge_j, np.int32)
     poses_final = poses_ref
     if n_loops > 0:
-        # build lidar-frame world poses from the refined camera poses via
-        # the calib conjugation: T_world_lidar = pose @ Tr
-        P = np.asarray(poses_ref, np.float64).reshape(-1, 3, 4)
-        R_w = np.einsum("nij,jk->nik", P[:, :, :3], np.asarray(R_tr))
-        t_w = (
-            np.einsum("nij,j->ni", P[:, :, :3], np.asarray(t_tr))
-            + P[:, :, 3]
-        )
-        g = concat_graphs(odometry_graph(rel_Rs, rel_ts), loops.edges)
+        # lidar-frame world poses of the refined trajectory (computed above
+        # via the calib conjugation T_world_lidar = pose @ Tr); odometry
+        # edges are the refined trajectory's own rels — see note above
+        R_w, t_w = W_R, W_t
+        g = concat_graphs(odometry_graph(rel_Rs64, rel_ts64), loops.edges)
         # Exact host-f64 GN (direct sparse factorization).  The matrix-free
         # TPU CG path needs ~N iterations on a chain-conditioned graph
         # (cond ~ N^2): at 520 frames, 8x60 CG iterations recovered <10% of
@@ -432,6 +437,17 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     scans = list(scans)
     timer = timer or StageTimer(sync=False)
 
+    # Per-frame sensor-health gate: a frame with far fewer returns than the
+    # sequence median (dropout burst, occluded sector, sensor fault) can
+    # still produce a high-inlier RANSAC consensus — on sparse aliased
+    # structure the consensus is confidently WRONG (measured on the
+    # degraded 520-frame benchmark: front-end self-reported success 97.1%
+    # vs 85.0% true).  Unhealthy frames therefore cannot confer "trusted"
+    # status on their pairs (so refinement re-registers them) and are
+    # excluded from loop-closure place recognition.
+    n_valid = np.array([int(np.asarray(m).sum()) for _, m in scans])
+    healthy = n_valid >= 0.5 * np.median(n_valid)
+
     # ---- stage 1: odometry front end (windowed: one jitted program per
     # 16-frame window; features kept for loop closure; refinement features
     # produced by the SAME window program — no second front-end pass)
@@ -456,12 +472,14 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
                     pair_success_rate=float(odo.successes.mean()),
                     mean_inliers=float(odo.n_inliers.mean()))
 
+    pair_trusted = odo.successes & healthy[:-1] & healthy[1:]
+
     # ---- stage 2: de-jump (FixJumpPoses), gated on the front end's own
-    # per-pair evidence: successful high-inlier registrations are real
-    # motion, not jumps (see fix_jump_poses docstring)
+    # per-pair evidence: successful high-inlier registrations on HEALTHY
+    # frames are real motion, not jumps (see fix_jump_poses docstring)
     with timer.stage("dejump"):
         poses_dj, dejumped = refine.fix_jump_poses(
-            poses_raw, cfg.refine, pair_trusted=odo.successes)
+            poses_raw, cfg.refine, pair_trusted=pair_trusted)
     if metrics:
         metrics.log("dejump", fixed=len(dejumped))
 
@@ -472,7 +490,7 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         with timer.stage("refine"):
             poses_ref, stats = stage_refinement(
                 poses_dj, ref_feats, odo.inlier_pairs, R_tr, t_tr, cfg,
-                batched=batched_refine, pair_trusted=odo.successes,
+                batched=batched_refine, pair_trusted=pair_trusted,
             )
         if metrics:
             metrics.log("refine", refined=len(stats.refined),
@@ -491,6 +509,7 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
             poses_final, n_loops, loop_ei, loop_ej = stage_loop_closure(
                 poses_ref, feats, odo.rel_Rs, odo.rel_ts, R_tr, t_tr, cfg,
                 min_loop_gap=min_loop_gap, seed=seed,
+                frame_healthy=healthy,
             )
         if metrics:
             metrics.log("loop_closure", accepted=n_loops)

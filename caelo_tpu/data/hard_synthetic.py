@@ -284,7 +284,7 @@ def generate_benchmark(n_frames: int = 520, seed: int = 0,
                        cfg: PipelineConfig = PipelineConfig(),
                        side: float = 96.0, az_step_deg: float | None = None,
                        yaw_rate_deg: float = 2.0, n_cars: int = 6,
-                       degraded_spans=None):
+                       degraded_spans=None, lap_frames: int | None = None):
     """Hard benchmark sequence: (scans, poses_gt) where ``scans`` is a list
     of padded ``(max_points, 4)`` arrays + masks and ``poses_gt`` the
     ``(N, 12)`` KITTI-style ground truth (identity sensor calib).
@@ -298,12 +298,27 @@ def generate_benchmark(n_frames: int = 520, seed: int = 0,
         registration degrades or fails in the burst while the dense
         geometry ICP still has signal (``RefinePoses.py:338-464`` is the
         reference's reason for the stage to exist).
+      lap_frames: when set, the trajectory is the ``lap_frames``-frame
+        closed circuit driven repeatedly (``n_frames`` total) instead of
+        one circuit stretched to ``n_frames``.  ``circuit_trajectory``
+        scales its STRAIGHTS with the frame count, so a single 4,541-frame
+        "circuit" has 1.2 km straights that leave the scene entirely;
+        sequence-scale runs want laps — every place revisited
+        ``n_frames/lap_frames`` times (a multi-revisit loop-closure
+        stress).  The lap seam is a ~1-2 m position step (the circuit
+        closes within one stride).
     """
     from ..ops.masking import pad_points
 
     scene = make_city(seed=seed, side=side, n_cars=n_cars)
-    poses = circuit_trajectory(n_frames=n_frames, side=side,
-                               yaw_rate_deg=yaw_rate_deg)
+    if lap_frames is not None:
+        lap = circuit_trajectory(n_frames=lap_frames, side=side,
+                                 yaw_rate_deg=yaw_rate_deg)
+        reps = -(-n_frames // lap_frames)
+        poses = np.concatenate([lap] * reps, axis=0)[:n_frames]
+    else:
+        poses = circuit_trajectory(n_frames=n_frames, side=side,
+                                   yaw_rate_deg=yaw_rate_deg)
     # vehicle follows the terrain: sensor height rides h(x, y)
     poses[:, 2, 3] += terrain_height(scene, poses[:, 0, 3], poses[:, 1, 3])
     scans = []

@@ -54,7 +54,8 @@ def main():
 
     t0 = time.time()
     scans, poses_gt = generate_benchmark(n_frames=args.frames,
-                                         seed=args.seed, cfg=cfg)
+                                         seed=args.seed, cfg=cfg,
+                                         lap_frames=520)
     gen_s = time.time() - t0
     print(f"generated {args.frames} ray-cast frames in {gen_s:.0f} s "
           f"(rss {rss_gb():.1f} GB)", file=sys.stderr)

@@ -37,11 +37,11 @@ import sys
 import time
 
 BASELINE_FPS = 0.2
-# 16 = the production window size (run_full_pipeline) and the largest the
-# r3 scale-0 bit-table patch path compiles (its ~84 MB/frame table is
-# bounded by the window; a 64-frame window over-sizes the remote compile).
-# Dispatch overhead at 16 frames is ~2% of the window (honest-timed).
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
+# 64 = the production window size (run_full_pipeline): r4's lax.map-chunked
+# extraction bounds the scale-0 bit table to 16 live frames, restoring
+# windows past 16 (the r3 limit); 64 amortizes per-window overhead to
+# 33.8 ms/frame vs 37.9 at 16 (honest fetch-synced, v5e).
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
 COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 REPS = int(os.environ.get("BENCH_REPS", "12"))
 

@@ -74,10 +74,61 @@ def loop_candidates(global_desc: jnp.ndarray, valid: jnp.ndarray,
     return pair_i, pair_j, -vals, jnp.isfinite(vals)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_candidates", "min_gap",
+                                    "per_frame_k"))
+def loop_candidates_per_frame(global_desc: jnp.ndarray, valid: jnp.ndarray,
+                              min_gap: int = 100, max_candidates: int = 64,
+                              per_frame_k: int = 3):
+    """Per-frame candidate generation: every frame j proposes its
+    ``per_frame_k`` best earlier matches i <= j - min_gap; the
+    ``max_candidates`` best proposals (by descriptor distance) survive.
+    Multiple proposals per frame matter because the pooled global
+    descriptor aliases between look-alike places (parallel street
+    canyons): the argmin alone is frequently the alias, and downstream
+    geometric verification + the sequence-consistency gate are the
+    reliable filters — give them the true co-location to find.
+
+    Versus the global top-K over the full pair matrix (``loop_candidates``):
+    on a multi-revisit sequence the global top-K concentrates at the single
+    most-distinctive place (measured at 4,541 frames / 8.7 laps: all 16
+    accepted edges pinned circuit positions 0-32, leaving multi-lap
+    chain spans with no constraint — laps between pins sagged 170-200 m
+    even though every pin's residual was ~0).  Per-frame proposals spread
+    along the whole trajectory, which is what the pose graph needs.
+
+    Returns (pair_i, pair_j, score, pair_mask), same contract as
+    ``loop_candidates``.
+    """
+    N = global_desc.shape[0]
+    d2 = squared_distance_matrix(global_desc, global_desc)
+    ii = jnp.arange(N)
+    # row = later frame j, col = earlier frame i
+    ok = (valid[:, None] & valid[None, :]
+          & ((ii[:, None] - ii[None, :]) >= min_gap))
+    d2m = jnp.where(ok, d2, jnp.inf)
+    kf = min(per_frame_k, N)
+    nd2, bi = jax.lax.top_k(-d2m, kf)          # per-row k best (N, kf)
+    score = jnp.where(jnp.isfinite(nd2), nd2, -jnp.inf).reshape(-1)
+    rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), kf)
+    k = min(max_candidates, N * kf)
+    vals, sel = jax.lax.top_k(score, k)
+    pad = max_candidates - k
+    if pad:
+        vals = jnp.concatenate([vals, jnp.full((pad,), -jnp.inf)])
+        sel = jnp.concatenate([sel, jnp.zeros((pad,), sel.dtype)])
+    return (bi.reshape(-1)[sel].astype(jnp.int32), rows[sel], -vals,
+            jnp.isfinite(vals))
+
+
 class LoopClosures(NamedTuple):
     edges: PoseGraph
     n_accepted: int
     candidates_checked: int
+    # rejection counts by cause (observability: a silent acceptance
+    # bottleneck at sequence scale looks like "loop closure works" with
+    # too few pins to constrain the graph)
+    rejects: dict = {}
 
 
 def stack_frame_features(features):
@@ -155,7 +206,7 @@ def detect_and_close(features, register_fn: Callable = None,
     )
     if frame_valid is not None:
         valid = valid & jnp.asarray(np.asarray(frame_valid, bool))
-    pi, pj, score, pmask = loop_candidates(
+    pi, pj, score, pmask = loop_candidates_per_frame(
         gd, valid, min_gap=min_gap, max_candidates=max_candidates
     )
     pi, pj = np.asarray(pi), np.asarray(pj)
@@ -191,11 +242,14 @@ def detect_and_close(features, register_fn: Callable = None,
     ei, ej, Rs, ts, ws = [], [], [], [], []
     seen = []
     checked = 0
+    rejects = {"sc_or_invalid": 0, "dedup": 0, "registration": 0, "gate": 0}
     for slot, (i, j, m, yaw) in enumerate(zip(pi, pj, pmask, yaws)):
         if not m or len(ei) >= max_accept:
+            rejects["sc_or_invalid"] += bool(not m)
             continue
         if any(abs(int(i) - a) < dedup_window and abs(int(j) - b) < dedup_window
                for a, b in seen):
+            rejects["dedup"] += 1
             continue
         checked += 1
         if batch_results is not None:
@@ -205,8 +259,10 @@ def detect_and_close(features, register_fn: Callable = None,
         else:
             R, t, ok, n_inl = register_fn(int(i), int(j))
         if not ok:
+            rejects["registration"] += 1
             continue
         if edge_gate_fn is not None and not edge_gate_fn(int(i), int(j), R, t):
+            rejects["gate"] += 1
             continue
         seen.append((int(i), int(j)))
         ei.append(int(i))
@@ -234,4 +290,4 @@ def detect_and_close(features, register_fn: Callable = None,
             weight=w,
             rot_info=jnp.full((n,), 100.0),
         )
-    return LoopClosures(edges, n, checked)
+    return LoopClosures(edges, n, checked, rejects)

@@ -91,7 +91,7 @@ def cmd_odometry(args):
 
         result, _ = run_odometry_windowed(
             ds.iter_scans(args.seq, 0, n), respond, encoder, R_tr, t_tr, cfg,
-            window=min(16, n), progress=progress,
+            window=min(64, n), progress=progress,
         )
     elif args.keypoints == "external":
         # third-party keypoints/descriptors from their file trees

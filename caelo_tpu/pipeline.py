@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Iterable, List, Optional
 
 import jax
@@ -259,6 +260,9 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
                 int(d_arr[k]), Rs[n + k], ts[n + k], bool(oks[n + k]))
         return Rs[:n], ts[:n], oks[:n], nis[:n]
 
+    gate_rejects = {"drift_bound": 0, "neighbor_failed": 0,
+                    "inconsistent": 0}
+
     def edge_gate_fn(i, j, R, t, tol_t=1.5, tol_deg=3.0):
         A_R = np.asarray(R, np.float64)
         A_t = np.asarray(t, np.float64)
@@ -274,6 +278,7 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         Rij, tij = chain_rel(i, j)
         path = float(path_prefix[j] - path_prefix[i])
         if np.linalg.norm(A_t - tij) > max(DRIFT_FLOOR_M, DRIFT_FRAC * path):
+            gate_rejects["drift_bound"] += 1
             return False
         # Sequence-consistency (SeqSLAM) gate against the prior-free
         # neighbor registration
@@ -281,6 +286,7 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         if d <= 0:
             return True
         if not ok2:
+            gate_rejects["neighbor_failed"] += 1
             return False
         Ri, ti = chain_rel(i, i + d)
         Rj, tj = chain_rel(j, j + d)
@@ -291,10 +297,20 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         t2 = np.asarray(t2, np.float64)
         ang = np.degrees(np.arccos(np.clip(
             (np.trace(R2.T @ pR) - 1.0) / 2.0, -1.0, 1.0)))
-        return bool(np.linalg.norm(t2 - pt) <= tol_t and ang <= tol_deg)
+        ok = bool(np.linalg.norm(t2 - pt) <= tol_t and ang <= tol_deg)
+        if not ok:
+            gate_rejects["inconsistent"] += 1
+        return ok
 
+    # candidate/accept budgets scale with sequence length so a multi-lap
+    # trajectory gets pins distributed along the WHOLE sequence — a fixed
+    # 32/16 budget at 4,541 frames concentrated every pin at one circuit
+    # region and left 1,000-frame chain spans unconstrained
+    max_cand = int(max(32, min(256, 3 * n_frames // 32)))
+    max_acc = int(max(16, n_frames // 64))
     loops = detect_and_close(stacked, register_batch_fn=register_batch_fn,
                              min_gap=min_loop_gap, use_scan_context=True,
+                             max_candidates=max_cand, max_accept=max_acc,
                              edge_gate_fn=edge_gate_fn,
                              frame_valid=frame_healthy)
     n_loops = loops.n_accepted
@@ -307,6 +323,13 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         # edges are the refined trajectory's own rels — see note above
         R_w, t_w = W_R, W_t
         g = concat_graphs(odometry_graph(rel_Rs64, rel_ts64), loops.edges)
+        if os.environ.get("CAELO_DEBUG_GRAPH"):
+            np.savez(os.environ["CAELO_DEBUG_GRAPH"],
+                     R_w=R_w, t_w=t_w,
+                     edge_i=np.asarray(g.edge_i), edge_j=np.asarray(g.edge_j),
+                     rel_R=np.asarray(g.rel_R), rel_t=np.asarray(g.rel_t),
+                     weight=np.asarray(g.weight),
+                     rot_info=np.asarray(g.rot_info))
         # Exact host-f64 GN (direct sparse factorization).  The matrix-free
         # TPU CG path needs ~N iterations on a chain-conditioned graph
         # (cond ~ N^2): at 520 frames, 8x60 CG iterations recovered <10% of
@@ -323,6 +346,10 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
             + np.asarray(to, np.float64)
         )
         poses_final = np.asarray(rt_to_poses(jnp.asarray(Rc), jnp.asarray(tc)))
+    import sys
+    print(f"loop closure: {n_loops} accepted / {loops.candidates_checked} "
+          f"checked, rejects {loops.rejects} gate={gate_rejects}",
+          file=sys.stderr)
     return poses_final, n_loops, loop_ei, loop_ej
 
 
@@ -457,13 +484,13 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         if enable_refinement:
             odo, feats, ref_feats = run_odometry_windowed(
                 scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-                window=min(16, len(scans)), seed=seed,
+                window=min(64, len(scans)), seed=seed,
                 keep_refine_features=True,
             )
         else:
             odo, feats = run_odometry_windowed(
                 scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-                window=min(16, len(scans)), seed=seed, keep_features=True,
+                window=min(64, len(scans)), seed=seed, keep_features=True,
             )
             ref_feats = None
     poses_raw = odo.poses

@@ -313,16 +313,76 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
                              max_candidates=max_cand, max_accept=max_acc,
                              edge_gate_fn=edge_gate_fn,
                              frame_valid=frame_healthy)
-    n_loops = loops.n_accepted
-    loop_ei = np.asarray(loops.edges.edge_i, np.int32)
-    loop_ej = np.asarray(loops.edges.edge_j, np.int32)
+    loop_edges = loops.edges
+    n_prop = 0
+    if loops.n_accepted > 0:
+        # Loop PROPAGATION: an accepted, gated revisit (i, j) implies
+        # candidate co-locations (i+D, j+D) at the same frame offset along
+        # the whole shared segment (the vehicle retraces the path).  Place
+        # recognition cannot surface these on self-similar scenes (the
+        # pooled descriptor aliases, so the gates reject its proposals —
+        # measured 219/231 at 4,541 frames), but as PROPAGATED hypotheses
+        # they only need the geometric verification + the same
+        # drift/consistency gates.  Without them the pin set stays
+        # concentrated and multi-lap drift cannot collapse.
+        STRIDE = max(20, min_loop_gap // 2)
+        seen_pairs = set(
+            (int(a), int(b)) for a, b in zip(
+                np.asarray(loops.edges.edge_i), np.asarray(loops.edges.edge_j)))
+        offsets = sorted(set(b - a for a, b in seen_pairs))
+        cand = []
+        for off in offsets:
+            for i2 in range(0, n_frames - off - 1, STRIDE):
+                j2 = i2 + off
+                if any(abs(i2 - a) < STRIDE // 2 and abs(j2 - b) < STRIDE // 2
+                       for a, b in seen_pairs):
+                    continue
+                cand.append((i2, j2))
+                seen_pairs.add((i2, j2))
+        # cap: each candidate costs 2 batched registrations (itself + its
+        # consistency neighbor); 256 keeps the verification call's
+        # activation memory ~2 GB
+        cand = cand[:256]
+        if cand:
+            ci = np.asarray([a for a, _ in cand], np.int32)
+            cj = np.asarray([b for _, b in cand], np.int32)
+            Rs, ts, oks, nis = register_batch_fn(
+                ci, cj, np.zeros(len(cand), np.float32))
+            pei, pej, pR, pt_, pw = [], [], [], [], []
+            for k in range(len(cand)):
+                if not bool(oks[k]):
+                    continue
+                if not edge_gate_fn(int(ci[k]), int(cj[k]), Rs[k], ts[k]):
+                    continue
+                pei.append(int(ci[k]))
+                pej.append(int(cj[k]))
+                pR.append(np.asarray(Rs[k]))
+                pt_.append(np.asarray(ts[k]))
+                pw.append(float(nis[k]))
+            n_prop = len(pei)
+            if n_prop:
+                from .backend.posegraph import PoseGraph
+
+                prop_edges = PoseGraph(
+                    edge_i=jnp.asarray(pei, jnp.int32),
+                    edge_j=jnp.asarray(pej, jnp.int32),
+                    rel_R=jnp.asarray(np.stack(pR)),
+                    rel_t=jnp.asarray(np.stack(pt_)),
+                    weight=jnp.asarray(np.asarray(pw) / 100.0),
+                    rot_info=jnp.full((n_prop,), 100.0),
+                )
+                loop_edges = concat_graphs(loops.edges, prop_edges)
+
+    n_loops = loops.n_accepted + n_prop
+    loop_ei = np.asarray(loop_edges.edge_i, np.int32)
+    loop_ej = np.asarray(loop_edges.edge_j, np.int32)
     poses_final = poses_ref
     if n_loops > 0:
         # lidar-frame world poses of the refined trajectory (computed above
         # via the calib conjugation T_world_lidar = pose @ Tr); odometry
         # edges are the refined trajectory's own rels — see note above
         R_w, t_w = W_R, W_t
-        g = concat_graphs(odometry_graph(rel_Rs64, rel_ts64), loops.edges)
+        g = concat_graphs(odometry_graph(rel_Rs64, rel_ts64), loop_edges)
         if os.environ.get("CAELO_DEBUG_GRAPH"):
             np.savez(os.environ["CAELO_DEBUG_GRAPH"],
                      R_w=R_w, t_w=t_w,
@@ -347,8 +407,9 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         )
         poses_final = np.asarray(rt_to_poses(jnp.asarray(Rc), jnp.asarray(tc)))
     import sys
-    print(f"loop closure: {n_loops} accepted / {loops.candidates_checked} "
-          f"checked, rejects {loops.rejects} gate={gate_rejects}",
+    print(f"loop closure: {loops.n_accepted} accepted / "
+          f"{loops.candidates_checked} checked + {n_prop} propagated, "
+          f"rejects {loops.rejects} gate={gate_rejects}",
           file=sys.stderr)
     return poses_final, n_loops, loop_ei, loop_ej
 

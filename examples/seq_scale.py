@@ -133,11 +133,13 @@ def main():
     ok = (summary["success_rate"] >= 0.99
           and out["frames_per_s_e2e"] >= 5.0
           and out["peak_rss_gb"] < 64.0
-          and (result.n_loop_closures == 0 or pr["precision"] >= 0.9))
+          and pr["precision"] >= 0.9
+          and out["ate_m"]["final"] <= 0.5 * out["ate_m"]["raw"])
     with open(args.json_out, "w") as f:
         json.dump(out, f, indent=2)
     print(f"SEQ-SCALE {'PASS' if ok else 'FAIL'} "
-          f"(gates: success>=99%, >=5 fps e2e, rss<64 GB, loop P>=0.9): "
+          f"(gates: success>=99%, >=5 fps e2e, rss<64 GB, loop P>=0.9, "
+          f"ATE halved): "
           f"{args.frames} frames, success "
           f"{summary['success_rate']*100:.2f}%, ATE "
           f"{out['ate_m']['raw']:.2f}->{out['ate_m']['final']:.2f} m, "

@@ -545,13 +545,13 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         if enable_refinement:
             odo, feats, ref_feats = run_odometry_windowed(
                 scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-                window=min(64, len(scans)), seed=seed,
+                window=min(16, len(scans)), seed=seed,
                 keep_refine_features=True,
             )
         else:
             odo, feats = run_odometry_windowed(
                 scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-                window=min(64, len(scans)), seed=seed, keep_features=True,
+                window=min(16, len(scans)), seed=seed, keep_features=True,
             )
             ref_feats = None
     poses_raw = odo.poses

@@ -61,8 +61,11 @@ def main():
         # 82 single-step re-registrations moved ATE only 49.5 -> 45.8 m) —
         # that regime is informationally marginal, not a rescue test.
         f = args.frames / 520.0
+        # turn-burst strength 0.5/80: at 0.6/100 the regime is marginal —
+        # ICP rescue flips sign with the RNG draw (rescued at one window
+        # seed, degraded at another); see the calibration note above
         degraded_spans = [(int(150 * f), int(190 * f), 0.8, 140.0),
-                          (int(340 * f), int(372 * f), 0.6, 100.0)]
+                          (int(345 * f), int(372 * f), 0.5, 80.0)]
     scans, poses_gt = generate_benchmark(n_frames=args.frames, seed=args.seed,
                                          cfg=cfg,
                                          degraded_spans=degraded_spans)

@@ -74,6 +74,22 @@ class IcpResult(NamedTuple):
     success: jnp.ndarray
     n_inliers: jnp.ndarray
     iters: jnp.ndarray
+    # saturated mean point-to-nearest distance of the pt2pt source cloud at
+    # the INITIAL pose and at convergence (same metric, same saturation cap
+    # — comparable).  A correction that doesn't reduce this materially is a
+    # sensor-locked biased optimum, not a repair; the refinement accept
+    # gate uses the gain (see RefineConfig.residual_gain_frac).
+    init_res: jnp.ndarray = jnp.float32(0.0)
+    final_res: jnp.ndarray = jnp.float32(0.0)
+
+
+_RES_CAP = 2.0   # metres; saturation bound for the residual metric
+
+
+def _sat_mean(dist, mask):
+    w = mask.astype(jnp.float32)
+    return (jnp.sum(jnp.minimum(jnp.where(mask, dist, 0.0), _RES_CAP) * w)
+            / jnp.maximum(jnp.sum(w), 1.0))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -144,9 +160,12 @@ def icp_hybrid(pc0: jnp.ndarray, mask0: jnp.ndarray,
     p0_xyz, n0 = planar0[:, 0:3], planar0[:, 3:6]
 
     def body(i, st):
-        R, t, pc1c, pl1c, thr0, thr1, done, n_in, iters = st
+        R, t, pc1c, pl1c, thr0, thr1, done, n_in, iters, r0m, rlast = st
         # point-to-point correspondences
         idx, dist = _nn(pc1c, mask1, pc0, mask0, cfg)
+        res = _sat_mean(dist, mask1)
+        r0m = jnp.where(i == 0, res, r0m)
+        rlast = res
         w_pt = ((dist < thr0) & mask1).astype(jnp.float32)
         tgt_pt = pc0[idx]
         # point-to-plane: match planar1 -> planar0 xyz, project to pedal
@@ -180,7 +199,7 @@ def icp_hybrid(pc0: jnp.ndarray, mask0: jnp.ndarray,
         n_in = jnp.where(step_ok, n, n_in)
         iters = jnp.where(step_ok, i + 1, iters)
         done = done | converged | (~enough)
-        return (R, t, pc1c, pl1c, thr0, thr1, done, n_in, iters)
+        return (R, t, pc1c, pl1c, thr0, thr1, done, n_in, iters, r0m, rlast)
 
     st = (
         jnp.eye(3, dtype=pc0.dtype),
@@ -192,7 +211,10 @@ def icp_hybrid(pc0: jnp.ndarray, mask0: jnp.ndarray,
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
     )
     out = jax.lax.fori_loop(0, cfg.max_iters, body, st)
-    R, t, _, _, _, _, _, n_in, iters = out
-    return IcpResult(R, t, n_in >= cfg.min_inliers, n_in, iters)
+    R, t, _, _, _, _, _, n_in, iters, r0m, rlast = out
+    return IcpResult(R, t, n_in >= cfg.min_inliers, n_in, iters,
+                     init_res=r0m, final_res=rlast)

@@ -409,9 +409,18 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
     if not spans:
         return poses, stats
 
-    def decide(i, j, relR, relT, dR, dt, ok):
-        """Replicates the sequential accept gate (RefinePoses.py:304-310)."""
+    def decide(i, j, relR, relT, dR, dt, ok, r0=None, r1=None):
+        """Replicates the sequential accept gate (RefinePoses.py:304-310),
+        plus the residual-gain requirement: the correction must EXPLAIN the
+        geometry materially better than the incoming relative pose, else
+        ICP merely found a nearby sensor-locked optimum and applying it
+        turns refinement into a seed-dependent random walk (see
+        RefineConfig.residual_gain_frac)."""
         if not ok:
+            return None
+        if (r0 is not None and cfg.residual_gain_frac > 0.0
+                and (r0 - r1) < max(cfg.residual_gain_frac * r0,
+                                    cfg.residual_gain_floor_m)):
             return None
         newR = dR @ relR
         newT = dR @ relT + dt
@@ -427,16 +436,23 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
         rels = [rel_lidar_fn(poses[a], poses[b]) for a, b in span_list]
         relRs = np.stack([r for r, _ in rels])
         relTs = np.stack([t for _, t in rels])
-        dRs, dts, oks = batched_icp_fn(idx_i, idx_j, relRs, relTs,
-                                       thr_scale=thr_scale)
-        return relRs, relTs, dRs, dts, oks
+        out = batched_icp_fn(idx_i, idx_j, relRs, relTs,
+                             thr_scale=thr_scale)
+        if len(out) == 5:
+            dRs, dts, oks, r0s, r1s = out
+        else:   # legacy 3-tuple contract (no residuals -> gain gate off)
+            dRs, dts, oks = out
+            r0s = r1s = None
+        return relRs, relTs, dRs, dts, oks, r0s, r1s
 
     # pass 1: all planned spans in one batched call
-    relRs, relTs, dRs, dts, oks = solve(spans)
+    relRs, relTs, dRs, dts, oks, r0s, r1s = solve(spans)
     accepted = {}           # j -> (i, newR, newT), applied in frame order
     fallback_steps = []
     for k, (i, j) in enumerate(spans):
-        res = decide(i, j, relRs[k], relTs[k], dRs[k], dts[k], bool(oks[k]))
+        res = decide(i, j, relRs[k], relTs[k], dRs[k], dts[k], bool(oks[k]),
+                     None if r0s is None else r0s[k],
+                     None if r1s is None else r1s[k])
         if res is not None:
             accepted[j] = (i, *res)
             stats.refined.append((i, j))
@@ -449,10 +465,12 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
 
     # pass 2: single-step fallback for failed/rejected long spans
     if fallback_steps:
-        relRs, relTs, dRs, dts, oks = solve(fallback_steps)
+        relRs, relTs, dRs, dts, oks, r0s, r1s = solve(fallback_steps)
         for k, (i, j) in enumerate(fallback_steps):
             res = decide(i, j, relRs[k], relTs[k], dRs[k], dts[k],
-                         bool(oks[k]))
+                         bool(oks[k]),
+                         None if r0s is None else r0s[k],
+                         None if r1s is None else r1s[k])
             if res is not None:
                 accepted[j] = (i, *res)
                 stats.refined.append((i, j))
@@ -475,10 +493,12 @@ def refine_odometry_batched(poses, batched_icp_fn: Callable,
         if not retry:
             break
         stats.failed = []
-        relRs, relTs, dRs, dts, oks = solve(retry, thr_scale=rung)
+        relRs, relTs, dRs, dts, oks, r0s, r1s = solve(retry, thr_scale=rung)
         for k, (i, j) in enumerate(retry):
             res = decide(i, j, relRs[k], relTs[k], dRs[k], dts[k],
-                         bool(oks[k]))
+                         bool(oks[k]),
+                         None if r0s is None else r0s[k],
+                         None if r1s is None else r1s[k])
             if res is not None:
                 accepted[j] = (i, *res)
                 stats.refined.append((i, j))

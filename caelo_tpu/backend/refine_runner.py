@@ -172,6 +172,8 @@ def make_batched_icp_fn(features: list,
         dRs = np.zeros((S, 3, 3))
         dts = np.zeros((S, 3))
         oks = np.zeros((S,), bool)
+        r0s = np.zeros((S,))
+        r1s = np.zeros((S,))
         for s in range(0, S, chunk):
             sel = slice(s, min(s + chunk, S))
             n = sel.stop - sel.start
@@ -192,7 +194,9 @@ def make_batched_icp_fn(features: list,
             dRs[sel] = np.asarray(res.R, np.float64)[:n]
             dts[sel] = np.asarray(res.t, np.float64)[:n]
             oks[sel] = np.asarray(res.success)[:n]
-        return dRs, dts, oks
+            r0s[sel] = np.asarray(res.init_res, np.float64)[:n]
+            r1s[sel] = np.asarray(res.final_res, np.float64)[:n]
+        return dRs, dts, oks, r0s, r1s
 
     return batched
 

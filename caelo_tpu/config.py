@@ -273,6 +273,18 @@ class RefineConfig:
     # reference gates above.  False = reference behavior (refine all).
     skip_trusted_spans: bool = True
     max_transfer_frames: int = 20    # keyframe chain cap (RefinePoses.py:374-400)
+    # Residual-gain acceptance for batched refinement corrections: an ICP
+    # correction is applied only when it reduces the saturated mean
+    # point-to-nearest residual by >= residual_gain_frac of its initial
+    # value or >= residual_gain_floor_m absolute.  A genuine rescue (wrong
+    # init) gains a lot; on marginal data (degraded frames near the
+    # sensor's resampling floor) ICP converges to a sensor-locked biased
+    # optimum whose "gain" is noise — accepting those turns refinement
+    # into a random walk whose sign flips with the RNG draw (measured:
+    # the same degraded benchmark rescued at one window seed and degraded
+    # at another).  0 disables.
+    residual_gain_frac: float = 0.1
+    residual_gain_floor_m: float = 0.02
     # Distribute an accepted multi-frame span correction smoothly over the
     # intermediate frames (``backward_update``) instead of dumping it all on
     # the span endpoint.  The reference implements this but ships it

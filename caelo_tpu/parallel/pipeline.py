@@ -187,13 +187,14 @@ def make_sharded_icp_fn(features, mesh: Mesh,
 
     solve = jax.jit(
         lambda f, ii, jj, rR, rT, ts: (
-            lambda res: (res.R, res.t, res.success)
+            lambda res: (res.R, res.t, res.success, res.init_res,
+                         res.final_res)
         )(jax.vmap(lambda a, b, R, t: refine_pair(a, b, R, t, cfg,
                                                   thr_scale=ts))(
             jax.tree.map(lambda x: x[ii], f),
             jax.tree.map(lambda x: x[jj], f), rR, rT)),
         in_shardings=(rep, data, data, data, data, rep),
-        out_shardings=(data, data, data),
+        out_shardings=(data, data, data, data, data),
     )
 
     import numpy as np
@@ -203,6 +204,8 @@ def make_sharded_icp_fn(features, mesh: Mesh,
         dRs = np.zeros((n, 3, 3))
         dts = np.zeros((n, 3))
         oks = np.zeros((n,), bool)
+        r0s = np.zeros((n,))
+        r1s = np.zeros((n,))
         for s in range(0, n, S):
             sel = slice(s, min(s + S, n))
             k = sel.stop - sel.start
@@ -215,14 +218,16 @@ def make_sharded_icp_fn(features, mesh: Mesh,
             rT = np.concatenate(
                 [relTs[sel], np.repeat(relTs[sel][-1:], pad, axis=0)]
             ).astype(np.float32)
-            R, t, ok = solve(feats, jnp.asarray(ii, jnp.int32),
-                             jnp.asarray(jj, jnp.int32),
-                             jnp.asarray(rR), jnp.asarray(rT),
-                             jnp.float32(thr_scale))
+            R, t, ok, r0, r1 = solve(feats, jnp.asarray(ii, jnp.int32),
+                                     jnp.asarray(jj, jnp.int32),
+                                     jnp.asarray(rR), jnp.asarray(rT),
+                                     jnp.float32(thr_scale))
             dRs[sel] = np.asarray(R, np.float64)[:k]
             dts[sel] = np.asarray(t, np.float64)[:k]
             oks[sel] = np.asarray(ok)[:k]
-        return dRs, dts, oks
+            r0s[sel] = np.asarray(r0, np.float64)[:k]
+            r1s[sel] = np.asarray(r1, np.float64)[:k]
+        return dRs, dts, oks, r0s, r1s
 
     return batched
 

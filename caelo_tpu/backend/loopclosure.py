@@ -102,14 +102,25 @@ def loop_candidates_per_frame(global_desc: jnp.ndarray, valid: jnp.ndarray,
     """
     N = global_desc.shape[0]
     d2 = squared_distance_matrix(global_desc, global_desc)
+    pi, pj, vals, mask = _per_frame_topk(-d2, valid, min_gap,
+                                         max_candidates, per_frame_k)
+    return pi, pj, -vals, mask
+
+
+def _per_frame_topk(sim: jnp.ndarray, valid: jnp.ndarray, min_gap: int,
+                    max_candidates: int, per_frame_k: int):
+    """Shared per-frame proposal core over a similarity matrix (higher =
+    better; ``sim[j, i]`` scores later frame j against earlier frame i).
+    Returns ``(pair_i, pair_j, similarity, mask)``."""
+    N = sim.shape[0]
     ii = jnp.arange(N)
     # row = later frame j, col = earlier frame i
     ok = (valid[:, None] & valid[None, :]
           & ((ii[:, None] - ii[None, :]) >= min_gap))
-    d2m = jnp.where(ok, d2, jnp.inf)
+    simm = jnp.where(ok, sim, -jnp.inf)
     kf = min(per_frame_k, N)
-    nd2, bi = jax.lax.top_k(-d2m, kf)          # per-row k best (N, kf)
-    score = jnp.where(jnp.isfinite(nd2), nd2, -jnp.inf).reshape(-1)
+    vals_k, bi = jax.lax.top_k(simm, kf)       # per-row k best (N, kf)
+    score = jnp.where(jnp.isfinite(vals_k), vals_k, -jnp.inf).reshape(-1)
     rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), kf)
     k = min(max_candidates, N * kf)
     vals, sel = jax.lax.top_k(score, k)
@@ -117,8 +128,40 @@ def loop_candidates_per_frame(global_desc: jnp.ndarray, valid: jnp.ndarray,
     if pad:
         vals = jnp.concatenate([vals, jnp.full((pad,), -jnp.inf)])
         sel = jnp.concatenate([sel, jnp.zeros((pad,), sel.dtype)])
-    return (bi.reshape(-1)[sel].astype(jnp.int32), rows[sel], -vals,
+    return (bi.reshape(-1)[sel].astype(jnp.int32), rows[sel], vals,
             jnp.isfinite(vals))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_candidates", "min_gap",
+                                    "per_frame_k"))
+def loop_candidates_scancontext(scs: jnp.ndarray, valid: jnp.ndarray,
+                                min_gap: int = 100, max_candidates: int = 64,
+                                per_frame_k: int = 3):
+    """Per-frame candidates from the full rotation-searched ScanContext
+    cross-correlation matrix (``backend.scancontext.sc_correlation_matrix``)
+    instead of pooled-descriptor distance.
+
+    The pooled keypoint descriptor collapses on repeated-texture scenes
+    (street canyons: 219/231 of its seq-scale proposals failed the
+    consistency gates) and is blind to traversal direction.  The ScanContext
+    correlation searches all sector shifts, so a revisit driven the opposite
+    way still surfaces, and the aligning yaw comes out of the same matrix —
+    no separate re-rank pass.
+
+    Returns ``(pair_i, pair_j, sc_score, yaw, mask)``: ``sc_score`` is the
+    best-shift cosine (higher = better, gate with ``sc_min_score``), ``yaw``
+    rotates frame j into frame i (``align_score`` convention).
+    """
+    from .scancontext import sc_correlation_matrix
+
+    score, yaw = sc_correlation_matrix(scs)
+    # rows must index the LATER frame j: score/yaw are (i-rows, j-cols) in
+    # align_score's (a=earlier, b=later) orientation, so transpose score and
+    # look yaw up at [i, j]
+    pi, pj, vals, mask = _per_frame_topk(score.T, valid, min_gap,
+                                         max_candidates, per_frame_k)
+    return pi, pj, vals, yaw[pi, pj], mask
 
 
 class LoopClosures(NamedTuple):
@@ -165,7 +208,8 @@ def detect_and_close(features, register_fn: Callable = None,
                      sc_min_score: float = 0.25,
                      register_batch_fn: Callable = None,
                      edge_gate_fn: Callable = None,
-                     frame_valid=None) -> LoopClosures:
+                     frame_valid=None,
+                     candidate_source: str = "descriptor") -> LoopClosures:
     """Full loop-closure pass over a sequence's FrameFeatures.
 
     Args:
@@ -195,10 +239,23 @@ def detect_and_close(features, register_fn: Callable = None,
         consistency check in ``pipeline.stage_loop_closure``: a loop
         correction larger than plausible odometry drift over the i..j path
         is a registration between look-alike places, not a revisit).
+      candidate_source: ``"descriptor"`` proposes candidates by pooled
+        keypoint-descriptor distance then (``use_scan_context``) re-ranks
+        with per-pair ScanContext alignment; ``"scancontext"`` (requires
+        ``use_scan_context``) proposes directly from the full
+        rotation-searched correlation matrix
+        (``loop_candidates_scancontext``) — robust to traversal-direction
+        change and to repeated-texture descriptor aliasing, and the
+        aligning yaws fall out of the candidate search itself.
 
     Returns loop edges mapping frame j into frame i (the front-end's
     relative-pose convention), weighted by inlier count.
     """
+    if candidate_source not in ("descriptor", "scancontext"):
+        raise ValueError(f"unknown candidate_source {candidate_source!r}")
+    if candidate_source == "scancontext" and not use_scan_context:
+        raise ValueError("candidate_source='scancontext' requires "
+                         "use_scan_context=True")
     stacked = stack_frame_features(features)
     gd, valid, scs = _build_signatures(
         stacked.descriptors, stacked.mask, stacked.key_pts,
@@ -206,26 +263,37 @@ def detect_and_close(features, register_fn: Callable = None,
     )
     if frame_valid is not None:
         valid = valid & jnp.asarray(np.asarray(frame_valid, bool))
-    pi, pj, score, pmask = loop_candidates_per_frame(
-        gd, valid, min_gap=min_gap, max_candidates=max_candidates
-    )
-    pi, pj = np.asarray(pi), np.asarray(pj)
-    pmask = np.asarray(pmask)
 
-    yaws = [None] * len(pi)
-    if use_scan_context:
-        # one batched device call for every candidate (masked slots score 0
-        # and are overwritten with -inf below)
-        s_all, y_all = _align_score_pairs(
-            scs, jnp.asarray(pi, jnp.int32), jnp.asarray(pj, jnp.int32)
+    if candidate_source == "scancontext":
+        pi, pj, sc_s, y_all, pmask = loop_candidates_scancontext(
+            scs, valid, min_gap=min_gap, max_candidates=max_candidates
         )
-        s_all, y_all = np.asarray(s_all), np.asarray(y_all)
-        sc_scores = np.where(pmask, s_all, -np.inf)
-        yaws = [float(y) for y in y_all]
-        order = np.argsort(-sc_scores, kind="stable")
-        pi, pj, pmask = pi[order], pj[order], pmask[order]
-        yaws = [yaws[k] for k in order]
-        pmask = pmask & (sc_scores[order] >= sc_min_score)
+        pi, pj, pmask = np.asarray(pi), np.asarray(pj), np.asarray(pmask)
+        yaws = [float(y) for y in np.asarray(y_all)]
+        # candidates come back similarity-ordered already; apply the score
+        # floor (same role as the re-rank path's sc_min_score gate)
+        pmask = pmask & (np.asarray(sc_s) >= sc_min_score)
+    else:
+        pi, pj, score, pmask = loop_candidates_per_frame(
+            gd, valid, min_gap=min_gap, max_candidates=max_candidates
+        )
+        pi, pj = np.asarray(pi), np.asarray(pj)
+        pmask = np.asarray(pmask)
+
+        yaws = [None] * len(pi)
+        if use_scan_context:
+            # one batched device call for every candidate (masked slots
+            # score 0 and are overwritten with -inf below)
+            s_all, y_all = _align_score_pairs(
+                scs, jnp.asarray(pi, jnp.int32), jnp.asarray(pj, jnp.int32)
+            )
+            s_all, y_all = np.asarray(s_all), np.asarray(y_all)
+            sc_scores = np.where(pmask, s_all, -np.inf)
+            yaws = [float(y) for y in y_all]
+            order = np.argsort(-sc_scores, kind="stable")
+            pi, pj, pmask = pi[order], pj[order], pmask[order]
+            yaws = [yaws[k] for k in order]
+            pmask = pmask & (sc_scores[order] >= sc_min_score)
 
     batch_results = None
     if register_batch_fn is not None:

@@ -103,14 +103,24 @@ def backward_update(poses, frame0, frame1, new_pose, rel_Rs, rel_ts):
         Ck, ck = cum[-1]
         cum.append((Ck @ rel_Rs[j], Ck @ rel_ts[j] + ck))
     Rc, tc = cum[n]
-    # rotation delta to distribute (right-multiplied), translation additive
+    # rotation delta to distribute (right-multiplied), translation additive.
+    # The delta is interpolated as a ROTATION VECTOR (geodesic / slerp), not
+    # per-axis Euler increments: the Euler round trip
+    # (``_euler_deg(dR)`` -> ``from_euler``) is degenerate near pitch +-90
+    # deg and reconstructed the endpoint only to ~1e-2 deg on real spans
+    # (observed at span (171, 173) on the hard circuit), tripping the
+    # exactness check below.  ``from_rotvec(rotvec(dR))`` rebuilds dR to
+    # float64 round-off by construction, so the k = n step is exact.  The
+    # reference's own interpolation is Euler-based (``BackwardUpdatePoses``,
+    # ``RefinePoses.py:149-229``) and inherits the same edge case — its
+    # verifyNorm tolerance of 0.01 is two orders looser than ours.
     dR = Rc.T @ Rt
-    d_euler = np.radians(_euler_deg(dR)) / n
+    d_rotvec = Rotation.from_matrix(dR).as_rotvec() / n
     d_t = (tt - tc) / n
 
     prev_R, prev_t = np.eye(3), np.zeros(3)
     for k in range(1, n + 1):
-        frac_R = Rotation.from_euler("xyz", d_euler * k).as_matrix()
+        frac_R = Rotation.from_rotvec(d_rotvec * k).as_matrix()
         Rk = cum[k][0] @ frac_R
         tk = cum[k][1] + d_t * k
         # new relative motion for step k
@@ -129,7 +139,7 @@ def backward_update(poses, frame0, frame1, new_pose, rel_Rs, rel_ts):
         raise BackwardUpdateInexact(
             f"backward_update verification failed: span ({frame0}, {frame1})"
             f" err {err_deg:.3e} deg / {err_t:.3e} m; "
-            f"d_euler_deg={np.degrees(d_euler) * n}, d_t={d_t * n}")
+            f"d_rotvec_deg={np.degrees(d_rotvec) * n}, d_t={d_t * n}")
     return poses, rel_Rs, rel_ts
 
 

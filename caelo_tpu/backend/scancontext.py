@@ -108,6 +108,58 @@ def align_score_batch(sc_q: jnp.ndarray, sc_cands: jnp.ndarray):
     return jax.vmap(lambda c: align_score(sc_q, c))(sc_cands)
 
 
+@jax.jit
+def sc_correlation_matrix(scs: jnp.ndarray):
+    """All-pairs, all-shift ScanContext cross-correlation over a trajectory.
+
+    ``scs``: (N, R, S) scan contexts.  Returns ``(score, yaw)``, both
+    (N, N): ``score[i, j]`` is the best whole-matrix cosine similarity of
+    frames i and j over all S circular sector shifts of j, and ``yaw[i, j]``
+    the aligning yaw (radians, rotating frame j into frame i) at that shift —
+    the same convention as :func:`align_score`.
+
+    This is the candidate matrix the pooled keypoint descriptor cannot be:
+    rotation-searched (a revisit traversed the other way still correlates)
+    and layout-aware (repeated-texture places that alias in pooled-descriptor
+    space differ in their polar height layout).  Computed as S matmuls of
+    the (N, R*S) row-normalized signature matrix against its sector-rolled
+    self with a running max — MXU work is S * 2 N^2 R S FLOPs (~2.7 TFLOP at
+    seq-00 scale N=4541, tens of ms on a v5e) and live memory stays at two
+    (N, N) buffers, never (N, N, S).  The circular shift in frequency space
+    (FFT) would save the S-fold matmul but materializes the (N, N, S)
+    correlation volume (5 TB at N=4541) to take the max — the rolled-matmul
+    form IS the TPU-native FFT-correlation evaluation.
+
+    Differences from :func:`align_score` (intentional, for matmul form):
+    whole-matrix cosine instead of per-column mean cosine, and no
+    empty-column masking.  Ranking agreement is tested; geometric
+    verification downstream is the arbiter either way.
+    """
+    N, R, S = scs.shape
+    flat = scs.reshape(N, R * S)
+    inv = 1.0 / jnp.maximum(jnp.linalg.norm(flat, axis=1), 1e-9)
+    A = flat * inv[:, None]
+
+    def body(s, carry):
+        best, best_s = carry
+        # roll by -s: <A[i], roll(B[j], -s)> = sum_c <i_col(c), j_col(c+s)>,
+        # matching align_score's scores[s]
+        Bs = jnp.roll(scs, -s, axis=-1).reshape(N, R * S) * inv[:, None]
+        sim = jnp.dot(A, Bs.T, preferred_element_type=jnp.float32)
+        upd = sim > best
+        return jnp.where(upd, sim, best), jnp.where(upd, s, best_s)
+
+    best, best_s = jax.lax.fori_loop(
+        0, S,
+        body,
+        (jnp.full((N, N), -jnp.inf, jnp.float32),
+         jnp.zeros((N, N), jnp.int32)),
+    )
+    yaw = 2.0 * jnp.pi * best_s.astype(jnp.float32) / S
+    yaw = jnp.where(yaw > jnp.pi, yaw - 2.0 * jnp.pi, yaw)
+    return best, yaw
+
+
 def yaw_rotation(yaw) -> jnp.ndarray:
     """Yaw (rad, about +z) -> (3, 3) rotation matrix."""
     c, s = jnp.cos(yaw), jnp.sin(yaw)

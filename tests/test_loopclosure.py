@@ -132,3 +132,59 @@ def test_detect_and_close_scan_context_yaw(rng):
     # j into frame i should recover ±yaw_gt up to a sector (5.6 deg)
     err = abs((abs(yaw_est) - yaw_gt + np.pi) % (2 * np.pi) - np.pi)
     assert err < 2 * np.pi / 64 + 1e-6, yaw_est
+
+
+def test_scancontext_candidates_beat_descriptor_aliasing(rng):
+    """A revisit traversed the other way (yaw ~180 deg) with
+    rotation-variant descriptors: the pooled-descriptor proposal ranks it
+    like any random frame, while the rotation-searched ScanContext
+    correlation surfaces it — the round-5 aliasing fix."""
+    from caelo_tpu.backend.scancontext import yaw_rotation
+
+    K = 64
+    r = rng.uniform(10, 60, K)
+    th = rng.uniform(-np.pi, np.pi, K)
+    cloud = np.stack([r * np.cos(th), r * np.sin(th),
+                      rng.uniform(-1.5, 4.0, K)], 1).astype(np.float32)
+    R = np.asarray(yaw_rotation(np.radians(180.0)))
+
+    feats = []
+    for i in range(250):
+        if i == 0:
+            pts = cloud
+        elif i == 240:
+            pts = (cloud @ R).astype(np.float32)   # reverse traversal
+        else:
+            rr = rng.uniform(10, 60, K)
+            tt = rng.uniform(-np.pi, np.pi, K)
+            pts = np.stack([rr * np.cos(tt), rr * np.sin(tt),
+                            rng.uniform(-1.5, 4.0, K)], 1).astype(np.float32)
+        # descriptors are random EVERYWHERE — view-dependent features do not
+        # match across a 180 deg viewpoint change
+        d = rng.normal(size=(K, 60)).astype(np.float32)
+        feats.append(FrameFeatures(
+            key_pts=jnp.asarray(pts),
+            descriptors=jnp.asarray(d),
+            mask=jnp.ones((K,), bool),
+            key_pixels=jnp.zeros((K, 2), jnp.int32),
+        ))
+
+    def make_register_fn(log):
+        def register_fn(i, j, yaw):
+            log.append((i, j))
+            ok = (i, j) == (0, 240)
+            return np.eye(3), np.zeros(3), ok, 120
+        return register_fn
+
+    sc_calls = []
+    out_sc = detect_and_close(
+        feats, make_register_fn(sc_calls), min_gap=100, max_candidates=8,
+        use_scan_context=True, candidate_source="scancontext")
+    assert out_sc.n_accepted == 1
+    assert (0, 240) in sc_calls
+    # the descriptor path never even proposes the revisit for verification
+    d_calls = []
+    detect_and_close(
+        feats, make_register_fn(d_calls), min_gap=100, max_candidates=8,
+        use_scan_context=True, candidate_source="descriptor")
+    assert (0, 240) not in d_calls

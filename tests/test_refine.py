@@ -40,6 +40,36 @@ def test_backward_update_distributes():
     np.testing.assert_allclose(out[:3], poses[:3], atol=1e-9)
 
 
+def test_backward_update_near_gimbal_exact():
+    """Spans whose rotation delta sits near pitch +-90 deg must distribute
+    exactly.  Regression for the Euler-interpolation edge case (observed as
+    a ~9e-3 deg endpoint error at span (171, 173) on the hard circuit): the
+    ``_euler_deg`` -> ``from_euler`` round trip is degenerate near gimbal
+    lock, so the delta is now interpolated as a rotation vector, which
+    rebuilds the endpoint to float64 round-off by construction."""
+    rng = np.random.default_rng(7)
+    n = 8
+    poses = np.zeros((n, 12))
+    R = np.eye(3)
+    t = np.zeros(3)
+    for i in range(n):
+        poses[i] = np.hstack([R, t.reshape(3, 1)]).reshape(12)
+        R = R @ Rotation.from_euler(
+            "xyz", rng.normal(0, 0.05, 3)).as_matrix()
+        t = t + R @ np.array([1.0, 0.0, 0.0])
+    rel_Rs, rel_ts = refine._all_rels(poses)
+    # correction whose delta rotation has pitch ~89.9 deg (gimbal edge)
+    R6, t6 = refine._rt(poses[6])
+    dR = Rotation.from_euler("xyz", [10.0, 89.9, -35.0],
+                             degrees=True).as_matrix()
+    new_pose = refine._row(R6 @ dR, t6 + np.array([0.3, -0.2, 0.1]))
+    out, _, _ = refine.backward_update(poses, 2, 6, new_pose, rel_Rs, rel_ts)
+    # must not raise BackwardUpdateInexact, and the endpoint is exact
+    Rv, tv = refine._rel(out[6], new_pose)
+    assert np.linalg.norm(refine._euler_deg(Rv)) < 1e-6
+    assert np.linalg.norm(tv) < 1e-6
+
+
 def test_fix_jump_poses():
     poses = straight_trajectory(10)
     # inject a jump: frame 5 displaced sideways by 2 m

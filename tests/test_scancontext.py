@@ -4,6 +4,7 @@ import jax.numpy as jnp
 
 from caelo_tpu.backend.scancontext import (align_score, align_score_batch,
                                            ring_key, scan_context,
+                                           sc_correlation_matrix,
                                            yaw_rotation, N_SECTORS)
 
 
@@ -68,6 +69,42 @@ def test_align_discriminates_scenes():
     diff, _ = align_score(sc_a, sc_b)
     assert float(same) > 0.99
     assert float(diff) < float(same) - 0.1
+
+
+def test_sc_correlation_matrix_matches_align():
+    """The all-pairs rolled-matmul correlation must agree with the pairwise
+    ``align_score`` on ranking and recovered yaw (the two differ only in
+    normalization: whole-matrix vs per-column cosine)."""
+    mask = jnp.ones(512, bool)
+    yaw = np.radians(135.0)
+    R = np.asarray(yaw_rotation(yaw))
+    pts = _cloud(seed=8)
+    scs = jnp.stack([
+        scan_context(jnp.asarray(pts), mask),
+        scan_context(jnp.asarray(_cloud(seed=9)), mask),
+        scan_context(jnp.asarray((pts @ R.T).astype(np.float32)), mask),
+        scan_context(jnp.asarray(_cloud(seed=10)), mask),
+    ])
+    score, yaws = sc_correlation_matrix(scs)
+    score, yaws = np.asarray(score), np.asarray(yaws)
+    # the rotated revisit (frame 2) beats the unrelated scenes for frame 0
+    assert score[0, 2] > score[0, 1] + 0.1
+    assert score[0, 2] > score[0, 3] + 0.1
+    # self-similarity is ~1 with zero yaw
+    np.testing.assert_allclose(np.diag(score), 1.0, atol=1e-5)
+    assert abs(yaws[0, 0]) < 1e-6
+    # recovered yaw rotates frame 2 into frame 0, within one sector
+    sector = 2 * np.pi / N_SECTORS
+    err = np.abs((yaws[0, 2] - yaw + np.pi) % (2 * np.pi) - np.pi)
+    assert err <= sector + 1e-6
+    # convention agreement with align_score on the genuinely-matching pairs
+    # (for unrelated scenes the best shift is noise — either scorer may
+    # legitimately pick a different one)
+    for a, b in ((0, 2), (2, 0)):
+        s_ref, y_ref = align_score(scs[a], scs[b])
+        err = np.abs((yaws[a, b] - float(y_ref) + np.pi)
+                     % (2 * np.pi) - np.pi)
+        assert err <= sector + 1e-6, (a, b, yaws[a, b], float(y_ref))
 
 
 def test_align_batch_matches_single():

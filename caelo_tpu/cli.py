@@ -252,6 +252,7 @@ def cmd_loop(args):
     poses_final, n_loops, ei, ej = stage_loop_closure(
         poses, data["feats"], data["rel_Rs"], data["rel_ts"],
         data["R_tr"], data["t_tr"], cfg, min_loop_gap=args.min_gap,
+        candidate_source=getattr(args, "candidates", "descriptor"),
     )
     out = args.out or args.poses.replace("poses___", "poses____")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
@@ -454,6 +455,12 @@ def main(argv=None):
     p.add_argument("--artifacts", required=True)
     p.add_argument("--seq", default="00")
     p.add_argument("--min-gap", type=int, default=100)
+    p.add_argument("--candidates", default="descriptor",
+                   choices=("descriptor", "scancontext"),
+                   help="loop-candidate source: pooled-descriptor distance "
+                        "(default) or the rotation-searched ScanContext "
+                        "correlation matrix (robust to reverse-traversal "
+                        "revisits and descriptor aliasing)")
     _add_common(p)
     p.set_defaults(fn=cmd_loop)
 

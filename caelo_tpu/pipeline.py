@@ -169,12 +169,19 @@ def _verify_loop_candidates(key, feats, idx_i, idx_j, yaws, allow_prior,
 
 def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
                        cfg: PipelineConfig, min_loop_gap: int = 100,
-                       seed: int = 0, frame_healthy=None):
+                       seed: int = 0, frame_healthy=None,
+                       candidate_source: str = "descriptor"):
     """Loop closure + pose-graph solve: poses___ -> poses____.
 
     ``rel_Rs``/``rel_ts`` are accepted for API compatibility but unused:
     every chain and graph edge derives from ``poses_ref`` so the solve
     preserves the de-jump/refinement corrections (see note below).
+
+    ``candidate_source``: ``"descriptor"`` (default, the validated benchmark
+    configuration) or ``"scancontext"`` — propose candidates from the full
+    rotation-searched correlation matrix
+    (``loopclosure.loop_candidates_scancontext``), which survives
+    reverse-traversal revisits and repeated-texture descriptor aliasing.
 
     Returns ``(poses_final, n_loops, loop_edge_i, loop_edge_j)``.
     """
@@ -312,7 +319,8 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
                              min_gap=min_loop_gap, use_scan_context=True,
                              max_candidates=max_cand, max_accept=max_acc,
                              edge_gate_fn=edge_gate_fn,
-                             frame_valid=frame_healthy)
+                             frame_valid=frame_healthy,
+                             candidate_source=candidate_source)
     loop_edges = loops.edges
     n_prop = 0
     if loops.n_accepted > 0:

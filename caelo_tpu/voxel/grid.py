@@ -397,9 +397,15 @@ def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
     word_idx = (vslot * (P * P) + (vox[:, 0] & pmask) * P
                 + (vox[:, 1] & pmask))
     bits = jnp.where(vox_mask, jnp.int32(1) << (vox[:, 2] & pmask), 0)
+    # with a presorted pyramid word_idx is globally NONDECREASING (slot is
+    # the ascending run rank; within a run the packed local order makes
+    # lx*P+ly nondecreasing; padding/overflow rows sit at the end and clamp
+    # to the drop id) — declare it so the scatter-add takes XLA's sorted
+    # path instead of random-update
     table = jnp.zeros((slots * P * P,), jnp.int32).at[
         jnp.where(word_idx < slots * P * P, word_idx, slots * P * P)
-    ].add(bits, mode="drop")                          # bit-or via add
+    ].add(bits, mode="drop",
+          indices_are_sorted=bool(cfg.presorted_pyramid))  # bit-or via add
 
     # ---- query: gather the 2x2x2 covering supercells' WHOLE word planes
     # (8 contiguous 256-word row gathers per keypoint), then align with

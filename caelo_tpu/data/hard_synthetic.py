@@ -284,7 +284,8 @@ def generate_benchmark(n_frames: int = 520, seed: int = 0,
                        cfg: PipelineConfig = PipelineConfig(),
                        side: float = 96.0, az_step_deg: float | None = None,
                        yaw_rate_deg: float = 2.0, n_cars: int = 6,
-                       degraded_spans=None, lap_frames: int | None = None):
+                       degraded_spans=None, lap_frames: int | None = None,
+                       frame_range: tuple | None = None):
     """Hard benchmark sequence: (scans, poses_gt) where ``scans`` is a list
     of padded ``(max_points, 4)`` arrays + masks and ``poses_gt`` the
     ``(N, 12)`` KITTI-style ground truth (identity sensor calib).
@@ -321,8 +322,13 @@ def generate_benchmark(n_frames: int = 520, seed: int = 0,
                                    yaw_rate_deg=yaw_rate_deg)
     # vehicle follows the terrain: sensor height rides h(x, y)
     poses[:, 2, 3] += terrain_height(scene, poses[:, 0, 3], poses[:, 1, 3])
+    # frame_range=(a, b): generate only frames [a, b) — the trajectory and
+    # per-frame RNG are computed exactly as in the full run, so chunked
+    # callers (sequence-scale cache writers streaming into a memmap, RAM
+    # O(chunk) instead of O(N)) get bit-identical scans.
+    a, b = frame_range if frame_range is not None else (0, n_frames)
     scans = []
-    for i in range(n_frames):
+    for i in range(a, b):
         dropout, sector = 0.08, None
         for span in (degraded_spans or ()):
             a, b, dr, sec = span

@@ -149,7 +149,10 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
         R_tr = np.eye(3)
     if t_tr is None:
         t_tr = np.zeros(3)
-    scans = list(scans)
+    # keep disk-backed sequences (data.scancache.NpyScanReader) lazy: the
+    # window loop below reads O(window) frames at a time
+    if not (hasattr(scans, "__getitem__") and hasattr(scans, "__len__")):
+        scans = list(scans)
     n = len(scans)
     assert n >= 2
     keep_features = keep_features or keep_refine_features

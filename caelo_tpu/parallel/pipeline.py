@@ -232,6 +232,54 @@ def make_sharded_icp_fn(features, mesh: Mesh,
     return batched
 
 
+def make_sharded_sc_correlation(mesh: Mesh):
+    """Row-sharded ScanContext correlation matrix
+    (``backend.scancontext.sc_correlation_matrix`` with the query-frame
+    axis sharded over ``'data'``).
+
+    Each device owns a contiguous block of query frames and correlates it
+    against the full (replicated) signature stack — the loop-closure
+    candidate search's multi-chip path (the (N, N) x S-shift search is the
+    loop stage's FLOP hot spot at sequence scale; rows are independent, so
+    the shard needs no collectives and is bit-identical to the
+    single-device result).  N must be divisible by the mesh's 'data' size
+    (pad with zero signatures; their rows score 0 against everything).
+
+    Returns ``fn(scs (N, R, S)) -> (score (N, N), yaw (N, N))``.
+    """
+
+    def block(rows, full):
+        n_loc = rows.shape[0]
+        N, R, S = full.shape
+        flat_r = rows.reshape(n_loc, R * S)
+        inv_r = 1.0 / jnp.maximum(jnp.linalg.norm(flat_r, axis=1), 1e-9)
+        A = flat_r * inv_r[:, None]
+        flat_f = full.reshape(N, R * S)
+        inv_f = 1.0 / jnp.maximum(jnp.linalg.norm(flat_f, axis=1), 1e-9)
+
+        def body(s, carry):
+            best, best_s = carry
+            Bs = (jnp.roll(full, -s, axis=-1).reshape(N, R * S)
+                  * inv_f[:, None])
+            sim = jnp.dot(A, Bs.T, preferred_element_type=jnp.float32)
+            upd = sim > best
+            return jnp.where(upd, sim, best), jnp.where(upd, s, best_s)
+
+        best, best_s = jax.lax.fori_loop(
+            0, S, body,
+            (jnp.full((n_loc, N), -jnp.inf, jnp.float32),
+             jnp.zeros((n_loc, N), jnp.int32)))
+        yaw = 2.0 * jnp.pi * best_s.astype(jnp.float32) / S
+        yaw = jnp.where(yaw > jnp.pi, yaw - 2.0 * jnp.pi, yaw)
+        return best, yaw
+
+    sharded = shard_map(
+        lambda rows, full: block(rows, full),
+        mesh=mesh, in_specs=(P("data"), P()),
+        out_specs=(P("data"), P("data")), check_vma=False)
+    return jax.jit(lambda scs: sharded(scs, scs))
+
+
 def neighbor_pose_exchange(mesh: Mesh):
     """shard_map halo exchange over keyframe spans.
 

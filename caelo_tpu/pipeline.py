@@ -524,13 +524,23 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
                       seed: int = 0,
                       batched_refine: bool = True,
                       timer: Optional[StageTimer] = None,
-                      metrics: Optional[MetricsLog] = None
+                      metrics: Optional[MetricsLog] = None,
+                      window: int = 16,
+                      candidate_source: str = "descriptor",
                       ) -> FullPipelineResult:
+    """End-to-end odometry stack.  ``window`` is the fused front-end window
+    size (frames per jitted device program); the degraded-rescue benchmark
+    must be re-validated across seeds before changing the default (the
+    per-window RNG re-rolls with the window size — see CLAUDE.md)."""
     if R_tr is None:
         R_tr = np.eye(3)
     if t_tr is None:
         t_tr = np.zeros(3)
-    scans = list(scans)
+    # A disk-backed sequence (data.scancache.NpyScanReader) is consumed
+    # in place — forcing a list would materialize the whole sequence
+    # (~9.5 GB at 4,541 frames) in host RAM
+    if not (hasattr(scans, "__getitem__") and hasattr(scans, "__len__")):
+        scans = list(scans)
     timer = timer or StageTimer(sync=False)
 
     # Per-frame sensor-health gate: a frame with far fewer returns than the
@@ -541,7 +551,11 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     # vs 85.0% true).  Unhealthy frames therefore cannot confer "trusted"
     # status on their pairs (so refinement re-registers them) and are
     # excluded from loop-closure place recognition.
-    n_valid = np.array([int(np.asarray(m).sum()) for _, m in scans])
+    if hasattr(scans, "mask"):
+        n_valid = np.array([int(scans.mask(i).sum())
+                            for i in range(len(scans))])
+    else:
+        n_valid = np.array([int(np.asarray(m).sum()) for _, m in scans])
     healthy = n_valid >= 0.5 * np.median(n_valid)
 
     # ---- stage 1: odometry front end (windowed: one jitted program per
@@ -553,13 +567,14 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         if enable_refinement:
             odo, feats, ref_feats = run_odometry_windowed(
                 scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-                window=min(16, len(scans)), seed=seed,
+                window=min(window, len(scans)), seed=seed,
                 keep_refine_features=True,
             )
         else:
             odo, feats = run_odometry_windowed(
                 scans, respond_params, encoder_params, R_tr, t_tr, cfg,
-                window=min(16, len(scans)), seed=seed, keep_features=True,
+                window=min(window, len(scans)), seed=seed,
+                keep_features=True,
             )
             ref_feats = None
     poses_raw = odo.poses
@@ -605,7 +620,7 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
             poses_final, n_loops, loop_ei, loop_ej = stage_loop_closure(
                 poses_ref, feats, odo.rel_Rs, odo.rel_ts, R_tr, t_tr, cfg,
                 min_loop_gap=min_loop_gap, seed=seed,
-                frame_healthy=healthy,
+                frame_healthy=healthy, candidate_source=candidate_source,
             )
         if metrics:
             metrics.log("loop_closure", accepted=n_loops)

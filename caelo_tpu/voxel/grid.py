@@ -311,6 +311,41 @@ def _patches_one_scale_window(kv, key_mask, vox, vox_mask,
     return chunk((kv, key_mask))
 
 
+def bitgrid_scatter_plan(vox, vox_mask, cfg: VoxelConfig, scale: int,
+                         slots: int):
+    """Per-voxel scatter plan for the presorted bit-table build:
+    ``(idx, bits)`` where ``idx`` is the word index clamped to the drop
+    word ``slots*P*P`` and ``bits`` the z-bit contribution.
+
+    Exposed as a module function so the load-bearing
+    ``indices_are_sorted=True`` invariant of the build scatter — ``idx``
+    globally NONDECREASING under a ``voxelize()`` presorted pyramid,
+    including padding and slot-overflow rows — is directly testable
+    (XLA treats a violation as undefined behavior on the TPU
+    sorted-scatter path; see ``tests/test_voxel.py``)."""
+    P = cfg.patch_size
+    pbits = P.bit_length() - 1
+    pmask = P - 1
+    g = cfg.grid_shape(scale)
+    sgy = -(-g[1] // P)
+    sgz = -(-g[2] // P)
+    sc = vox >> pbits
+    lin = sc[:, 0] * (sgy * sgz) + sc[:, 1] * sgz + sc[:, 2]
+    big = jnp.iinfo(jnp.int32).max
+    lin = jnp.where(vox_mask, lin, big)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), lin[1:] != lin[:-1]])
+    is_first &= lin != big
+    slot_of_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    vslot = jnp.where(vox_mask & (slot_of_sorted < slots),
+                      slot_of_sorted, slots)
+    word_idx = (vslot * (P * P) + (vox[:, 0] & pmask) * P
+                + (vox[:, 1] & pmask))
+    bits = jnp.where(vox_mask, jnp.int32(1) << (vox[:, 2] & pmask), 0)
+    idx = jnp.where(word_idx < slots * P * P, word_idx, slots * P * P)
+    return idx, bits
+
+
 def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
                                cfg: VoxelConfig, scale: int, slots: int):
     """16^3 occupancy patches via dense bit-packed per-supercell tables.
@@ -388,22 +423,24 @@ def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
 
     # build the bit table: word = slot*P*P + lx*P + ly, bit = lz.  With a
     # presorted pyramid each voxel's slot is its run's rank directly — no
-    # map gather needed
+    # map gather needed, and the scatter indices are globally NONDECREASING
+    # (slot is the ascending run rank; within a run the packed local order
+    # makes lx*P+ly nondecreasing; padding/overflow rows sit at the end and
+    # clamp to the drop id) — declared sorted so the scatter-add takes
+    # XLA's sorted path instead of random-update.  The invariant is
+    # load-bearing and pinned by a test on ``bitgrid_scatter_plan``.
     if cfg.presorted_pyramid:
-        vslot = jnp.where(vox_mask & (slot_of_sorted < slots),
-                          slot_of_sorted, slots)
+        scatter_idx, bits = bitgrid_scatter_plan(vox, vox_mask, cfg, scale,
+                                                 slots)
     else:
         vslot = lookup(lin, vox_mask)
-    word_idx = (vslot * (P * P) + (vox[:, 0] & pmask) * P
-                + (vox[:, 1] & pmask))
-    bits = jnp.where(vox_mask, jnp.int32(1) << (vox[:, 2] & pmask), 0)
-    # with a presorted pyramid word_idx is globally NONDECREASING (slot is
-    # the ascending run rank; within a run the packed local order makes
-    # lx*P+ly nondecreasing; padding/overflow rows sit at the end and clamp
-    # to the drop id) — declare it so the scatter-add takes XLA's sorted
-    # path instead of random-update
+        word_idx = (vslot * (P * P) + (vox[:, 0] & pmask) * P
+                    + (vox[:, 1] & pmask))
+        bits = jnp.where(vox_mask, jnp.int32(1) << (vox[:, 2] & pmask), 0)
+        scatter_idx = jnp.where(word_idx < slots * P * P, word_idx,
+                                slots * P * P)
     table = jnp.zeros((slots * P * P,), jnp.int32).at[
-        jnp.where(word_idx < slots * P * P, word_idx, slots * P * P)
+        scatter_idx
     ].add(bits, mode="drop",
           indices_are_sorted=bool(cfg.presorted_pyramid))  # bit-or via add
 

@@ -34,9 +34,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default="SEQ_SCALE.json")
     ap.add_argument("--scan-cache", default="",
-                    help="memmap .npy path pair (<path>.pts.npy/"
-                         "<path>.msk.npy) to reuse generated scans across "
-                         "runs (~9.5 GB at 4,541 frames)")
+                    help="base path for the on-disk scan stack (<path>."
+                         "pts.npy/.msk.npy/.gt.npy, ~9.5 GB at 4,541 "
+                         "frames) — generated in RAM-bounded chunks if "
+                         "missing, then read frame-by-frame (host RSS "
+                         "stays O(window))")
+    ap.add_argument("--window", type=int, default=0,
+                    help="front-end window size (0 = pipeline default)")
     args = ap.parse_args()
 
     from caelo_tpu.utils.compcache import enable_compilation_cache
@@ -57,33 +61,42 @@ def main():
     respond = weights_io.load_respond_layer_params()
     encoder = weights_io.load_patch_encoder_params()
 
+    from caelo_tpu.data.scancache import NpyScanReader, write_benchmark_cache
+
     t0 = time.time()
-    cache_p = (args.scan_cache + ".pts.npy") if args.scan_cache else ""
-    cache_m = (args.scan_cache + ".msk.npy") if args.scan_cache else ""
-    cache_g = (args.scan_cache + ".gt.npy") if args.scan_cache else ""
-    if cache_p and os.path.exists(cache_p):
-        pts = np.load(cache_p, mmap_mode="r")
-        msk = np.load(cache_m, mmap_mode="r")
-        poses_gt = np.load(cache_g)
-        scans = [(np.asarray(pts[i]), np.asarray(msk[i]))
-                 for i in range(args.frames)]
-    else:
-        scans, poses_gt = generate_benchmark(n_frames=args.frames,
-                                             seed=args.seed, cfg=cfg,
-                                             lap_frames=520)
-        if cache_p:
-            np.save(cache_p, np.stack([p for p, _ in scans]))
-            np.save(cache_m, np.stack([m for _, m in scans]))
-            np.save(cache_g, poses_gt)
+    base = args.scan_cache or "/tmp/seq_scale_cache"
+    if not os.path.exists(base + ".pts.npy"):
+        write_benchmark_cache(
+            base, args.frames, cfg, seed=args.seed, lap_frames=520,
+            progress=lambda b: print(f"  generated {b}/{args.frames}",
+                                     file=sys.stderr))
+    poses_gt = np.load(base + ".gt.npy")[:args.frames]
+    scans = NpyScanReader(base)
+    assert len(scans) >= args.frames, (len(scans), args.frames)
+    if len(scans) > args.frames:
+        class _Slice:
+            def __init__(self, r, n):
+                self.r, self.n = r, n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return self.r[i]
+
+            def mask(self, i):
+                return self.r.mask(i)
+        scans = _Slice(scans, args.frames)
     gen_s = time.time() - t0
     print(f"generated {args.frames} ray-cast frames in {gen_s:.0f} s "
           f"(rss {rss_gb():.1f} GB)", file=sys.stderr)
 
     timer = StageTimer(sync=False)
     t0 = time.time()
+    pipe_kwargs = {"window": args.window} if args.window > 0 else {}
     result = run_full_pipeline(scans, respond, encoder, cfg=cfg,
                                enable_loop_closure=True, timer=timer,
-                               seed=args.seed)
+                               seed=args.seed, **pipe_kwargs)
     wall = time.time() - t0
     print(f"pipeline: {wall:.1f} s ({args.frames / wall:.2f} frames/s e2e, "
           f"rss {rss_gb():.1f} GB)", file=sys.stderr)
@@ -130,15 +143,17 @@ def main():
         [[0, args.frames - 1], result.loop_edge_i, result.loop_edge_j]))
     out["max_unpinned_span"] = int(np.max(np.diff(pinned))) if len(
         pinned) > 1 else args.frames
+    # RSS/fps gates per VERDICT r4 item 3: streamed scans + the window-64
+    # front end must hold >=20 fps e2e under 8 GB host RSS
     ok = (summary["success_rate"] >= 0.99
-          and out["frames_per_s_e2e"] >= 5.0
-          and out["peak_rss_gb"] < 64.0
+          and out["frames_per_s_e2e"] >= 20.0
+          and out["peak_rss_gb"] < 8.0
           and pr["precision"] >= 0.9
           and out["ate_m"]["final"] <= 0.5 * out["ate_m"]["raw"])
     with open(args.json_out, "w") as f:
         json.dump(out, f, indent=2)
     print(f"SEQ-SCALE {'PASS' if ok else 'FAIL'} "
-          f"(gates: success>=99%, >=5 fps e2e, rss<64 GB, loop P>=0.9, "
+          f"(gates: success>=99%, >=20 fps e2e, rss<8 GB, loop P>=0.9, "
           f"ATE halved): "
           f"{args.frames} frames, success "
           f"{summary['success_rate']*100:.2f}%, ATE "

@@ -172,3 +172,19 @@ def test_sharded_refinement_matches_batched():
         apply_rel_fn, cfg=cfg.refine)
     assert len(s_plain.refined) == len(s_shard.refined)
     np.testing.assert_allclose(p_shard, p_plain, atol=1e-5)
+
+
+@needs_8
+def test_sharded_sc_correlation_matches_single_device():
+    """Row-sharded ScanContext correlation (loop-closure candidate search
+    over 'data') is bit-identical to the single-device matrix."""
+    from caelo_tpu.backend.scancontext import sc_correlation_matrix
+    from caelo_tpu.parallel.pipeline import make_sharded_sc_correlation
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    rng = np.random.default_rng(11)
+    scs = jnp.asarray(rng.uniform(0, 8, (24, 16, 64)), jnp.float32)
+    score_s, yaw_s = make_sharded_sc_correlation(mesh)(scs)
+    score_1, yaw_1 = sc_correlation_matrix(scs)
+    np.testing.assert_array_equal(np.asarray(score_s), np.asarray(score_1))
+    np.testing.assert_array_equal(np.asarray(yaw_s), np.asarray(yaw_1))

@@ -106,3 +106,31 @@ def test_keypoint_voxels_truncation():
     kv = np.asarray(keypoint_voxels(kp, 0, cfg))
     # (0,0,0) + (100,100,15) = (100,100,15) / 0.02 = (5000,5000,750)
     np.testing.assert_array_equal(kv[0], [5000, 5000, 750])
+
+
+def test_bitgrid_scatter_indices_sorted(rng):
+    """The bit-table build declares ``indices_are_sorted=True`` under a
+    presorted pyramid (ADVICE r4): XLA treats a violation as undefined
+    behavior on the TPU sorted-scatter path, so pin the invariant against
+    REAL ``voxelize()`` output — padded rows, slot-overflow rows and all."""
+    from caelo_tpu.voxel.grid import bitgrid_scatter_plan
+
+    cfg = CFG
+    assert cfg.presorted_pyramid
+    pts = _random_pts(rng, 6000)
+    mask = np.ones(6000, bool)
+    mask[5500:] = False          # padding tail
+    pyr = voxelize(jnp.asarray(pts), jnp.asarray(mask), cfg)
+    for scale in range(3):
+        vox = pyr.coords[scale]
+        vox_mask = pyr.masks[scale]
+        n_occ = int(pyr.counts[scale])
+        assert n_occ > 100
+        for slots in (8192, n_occ // 2):   # ample + overflowing caps
+            idx, bits = bitgrid_scatter_plan(vox, vox_mask, cfg, scale,
+                                             slots)
+            idx = np.asarray(idx)
+            assert np.all(np.diff(idx) >= 0), (scale, slots)
+            # padding rows land on the drop word with zero bits
+            assert np.all(idx[~np.asarray(vox_mask)] == slots * 16 * 16)
+            assert np.all(np.asarray(bits)[~np.asarray(vox_mask)] == 0)

@@ -37,10 +37,13 @@ import sys
 import time
 
 BASELINE_FPS = 0.2
-# 64 = the production window size (run_full_pipeline): r4's lax.map-chunked
-# extraction bounds the scale-0 bit table to 16 live frames, restoring
-# windows past 16 (the r3 limit); 64 amortizes per-window overhead to
-# 33.8 ms/frame vs 37.9 at 16 (honest fetch-synced, v5e).
+# 64-frame window: r4's lax.map-chunked extraction bounds the scale-0 bit
+# table to 16 live frames, restoring windows past 16 (the r3 limit); 64
+# amortizes per-window overhead to 33.8 ms/frame vs 37.9 at 16 (honest
+# fetch-synced, v5e).  run_full_pipeline's production default is its
+# `window` parameter — see pipeline.py and CLAUDE.md for the currently
+# validated value (the degraded-rescue benchmark is re-validated across
+# seeds before any default change).
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
 COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 REPS = int(os.environ.get("BENCH_REPS", "12"))

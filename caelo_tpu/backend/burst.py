@@ -1,0 +1,415 @@
+"""Multi-frame burst rescue: scan-to-local-map registration over degraded
+sensor spans.
+
+The pairwise rescue ladder (``refine.refine_odometry_batched`` pass 3) is
+informationally marginal when a heavy degradation burst (0.8 dropout + a
+140 deg occluded wedge) crosses a turn: CONSECUTIVE degraded frames see
+nearly the same narrow sensor-locked wedge, so descriptor RANSAC and dense
+pairwise ICP converge to the same biased optimum (measured: 82
+re-registrations moved ATE only 49.5 -> 45.8 m).  This module uses the
+information the pairwise path cannot: across the burst the visible wedge
+SWEEPS different world structure (the sensor turns), so the union of the
+burst's frames — anchored by the healthy frame before it — covers a far
+wider field of view than any single frame.
+
+``burst_map_icp`` registers each burst frame against a progressively
+accumulated local map in the entry anchor's frame (the classic
+scan-to-submap odometry formulation, built TPU-native):
+
+* the whole span solves in ONE jitted ``lax.scan`` over a static
+  ``max_span`` — per-frame ICP is a fixed-trip ``fori_loop`` whose
+  correspondence search is the chunked distance matmul of ``backend.icp``;
+* the map is a fixed-capacity point buffer; each registered frame scatters
+  a fixed-size subsample at its own slot (no dynamic shapes);
+* each frame's result carries the same ``init_res``/``final_res``
+  saturated-residual pair as the pairwise ICP, so the caller applies the
+  SAME evidence-based residual-gain acceptance
+  (``RefineConfig.residual_gain_frac``).
+
+The reference has no analog — its hybrid ICP (``MyICP.py:127-201``) is
+strictly pairwise; this extends the same machinery to the regime where
+pairwise evidence is degenerate (VERDICT r4 item 2).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IcpConfig, PipelineConfig
+from ..geometry import se3
+from .icp import _RES_CAP, _sat_mean, nearest_neighbors
+
+
+@functools.partial(jax.jit, static_argnames=("icp_cfg", "max_span",
+                                             "frame_budget"))
+def burst_map_icp(ext_pts: jnp.ndarray, ext_mask: jnp.ndarray,
+                  rel_Rs: jnp.ndarray, rel_ts: jnp.ndarray,
+                  span_len: jnp.ndarray,
+                  icp_cfg: IcpConfig = IcpConfig(),
+                  max_span: int = 64, frame_budget: int = 2048,
+                  thr_scale=2.0):
+    """Joint registration of frames 1..span_len against a growing local map
+    in frame 0's coordinates.
+
+    Args:
+      ext_pts: ``(max_span + 1, E, 3)`` extended refinement clouds — frame 0
+        is the healthy ENTRY anchor, frames ``1..span_len`` the burst
+        interior plus the healthy EXIT anchor as the last active frame.
+      ext_mask: ``(max_span + 1, E)`` validity.
+      rel_Rs/rel_ts: ``(max_span, 3, 3) / (max_span, 3)`` initial relative
+        poses (lidar frame, k -> k+1 mapping frame k+1 into frame k) from
+        the current trajectory.
+      span_len: traced int — number of ACTIVE pairs (<= max_span); inactive
+        tail slots pass their input rels through untouched.
+      thr_scale: coarse initial-gate widening (the burst entered this path
+        because its initial guess may be meters off through a turn).
+
+    Returns ``(new_rel_Rs, new_rel_ts, ok, init_res, final_res)``: per-pair
+    corrected rels (input rels where inactive or failed), per-frame ICP
+    success, and per-frame saturated map residuals at the initial vs final
+    pose for the residual-gain acceptance gate.
+    """
+    E = ext_pts.shape[1]
+    # map layout: [anchor frame 0, full resolution E][frame k slots of
+    # frame_budget each, k = 1..max_span] — regions never overlap
+    map_cap = E + frame_budget * max_span
+
+    map_pts = jnp.zeros((map_cap, 3), ext_pts.dtype)
+    map_msk = jnp.zeros((map_cap,), bool)
+    map_pts = jax.lax.dynamic_update_slice(map_pts, ext_pts[0], (0, 0))
+    map_msk = jax.lax.dynamic_update_slice(map_msk, ext_mask[0], (0,))
+
+    # fixed even subsample of each frame's VALID prefix for map insertion
+    def subsample(pts, msk):
+        n_valid = jnp.maximum(jnp.sum(msk), 1)
+        ridx = (jnp.arange(frame_budget, dtype=jnp.int32)
+                * n_valid.astype(jnp.int32)) // jnp.int32(frame_budget)
+        uniq = jnp.concatenate([jnp.ones((1,), bool),
+                                ridx[1:] != ridx[:-1]])
+        return pts[ridx], msk[ridx] & uniq
+
+    def icp_vs_map(pc, msk, mpts, mmsk, R0, t0):
+        """Fixed-trip point-to-point ICP of cloud (R0,t0)-transformed onto
+        the map; returns the composed pose + residual diagnostics.
+
+        The inlier gate is RANGE-PROPORTIONAL: ``dist < max(thr,
+        range * thr/GATE_RANGE)``.  A narrow-wedge degraded frame observes
+        rotation mostly through its far points (a yaw error d maps to a
+        range*d offset), but a flat metric gate excludes exactly those
+        correspondences while the rotation error is still large — the
+        solve then absorbs the rotation error into translation (measured
+        on the wedge probe: 6 deg init stuck at 4.3 deg / 0.5 m with the
+        flat gate; recovered with the proportional one).  The decay
+        schedule shrinks both terms together, so convergence is as tight
+        as the flat gate's."""
+        pc_w = se3.apply(R0, t0, pc)
+        # sensor-frame ranges are pose-invariant: compute once
+        ranges = jnp.linalg.norm(pc, axis=-1)
+        GATE_RANGE = 10.0     # metres at which the angular term = thr
+
+        def body(i, st):
+            R, t, pcc, thr, done, n_in, r0m, rlast = st
+            idx, dist = nearest_neighbors(pcc, msk, mpts, mmsk)
+            res = _sat_mean(dist, msk)
+            r0m = jnp.where(i == 0, res, r0m)
+            rlast = jnp.where(done, rlast, res)
+            gate = jnp.maximum(thr, ranges * (thr / GATE_RANGE))
+            w = ((dist < gate) & msk).astype(jnp.float32)
+            n = jnp.sum(w).astype(jnp.int32)
+            enough = n >= icp_cfg.min_inliers
+            Rd, td = se3.solve_rigid_horn(mpts[idx], pcc, w)
+            step_ok = (~done) & enough
+            Rd = jnp.where(step_ok, Rd,
+                           jnp.eye(3, dtype=R.dtype)).astype(R.dtype)
+            td = jnp.where(step_ok, td, 0.0).astype(t.dtype)
+            pcc = se3.apply(Rd, td, pcc)
+            R, t = se3.compose(Rd, td, R, t)
+            d_ang = jnp.linalg.norm(se3.rotmat_to_euler_xyz_deg(Rd))
+            d_t = jnp.linalg.norm(td)
+            converged = ((i >= icp_cfg.max_iters // 2)
+                         & (d_ang < icp_cfg.epsilon)
+                         & (d_t < icp_cfg.epsilon))
+            small = ((d_ang < icp_cfg.small_shift_threshold)
+                     & (d_t < icp_cfg.small_shift_threshold))
+            thr = jnp.where(step_ok & small, thr * icp_cfg.decay, thr)
+            n_in = jnp.where(step_ok, n, n_in)
+            done = done | converged | (~enough)
+            return (R, t, pcc, thr, done, n_in, r0m, rlast)
+
+        st = (jnp.eye(3, dtype=pc.dtype), jnp.zeros((3,), pc.dtype),
+              pc_w,
+              jnp.asarray(icp_cfg.inlier_threshold * thr_scale, pc.dtype),
+              jnp.asarray(False), jnp.asarray(0, jnp.int32),
+              jnp.float32(0.0), jnp.float32(0.0))
+        Rd, td, _, _, _, n_in, r0m, rlast = jax.lax.fori_loop(
+            0, icp_cfg.max_iters, body, st)
+        ok = n_in >= icp_cfg.min_inliers
+        # composed frame->map pose
+        Rn, tn = se3.compose(Rd, td, R0, t0)
+        return Rn, tn, ok, r0m, rlast
+
+    def insert(map_pts, map_msk, k, pc, msk, Rn, tn, active):
+        """Write frame k's transformed subsample at its fixed slot."""
+        sub, submsk = subsample(pc, msk)
+        sub_w = se3.apply(Rn, tn, sub)
+        off = E + (k - 1) * frame_budget
+        map_pts = jax.lax.dynamic_update_slice(map_pts, sub_w, (off, 0))
+        map_msk = jax.lax.dynamic_update_slice(
+            map_msk, submsk & active, (off,))
+        return map_pts, map_msk
+
+    # ---- sweep 1: forward accumulation — frame k registers against the
+    # map built from frames 0..k-1, then joins it
+    def build_step(carry, k):
+        map_pts, map_msk, R_prev, t_prev, R_all, t_all = carry
+        active = k <= span_len
+        pc = ext_pts[k]
+        msk = ext_mask[k] & active
+        # initial guess: previous solved pose composed with the input rel
+        R0, t0 = se3.compose(R_prev, t_prev, rel_Rs[k - 1], rel_ts[k - 1])
+        Rn, tn, ok, r0m, rlast = icp_vs_map(pc, msk, map_pts, map_msk,
+                                            R0, t0)
+        use = ok & active
+        Rn = jnp.where(use, Rn, R0)
+        tn = jnp.where(use, tn, t0)
+        map_pts, map_msk = insert(map_pts, map_msk, k, pc, ext_mask[k],
+                                  Rn, tn, active)
+        R_all = R_all.at[k].set(Rn)
+        t_all = t_all.at[k].set(tn)
+        return ((map_pts, map_msk, Rn, tn, R_all, t_all),
+                (use, r0m, rlast))
+
+    R_all = jnp.tile(jnp.eye(3, dtype=ext_pts.dtype),
+                     (max_span + 1, 1, 1))
+    t_all = jnp.zeros((max_span + 1, 3), ext_pts.dtype)
+    init = (map_pts, map_msk, jnp.eye(3, dtype=ext_pts.dtype),
+            jnp.zeros((3,), ext_pts.dtype), R_all, t_all)
+    carry, (oks, _, _) = jax.lax.scan(
+        build_step, init, jnp.arange(1, max_span + 1))
+    map_pts, map_msk, _, _, R_all, t_all = carry
+
+    # ---- sweep 2: polish against the COMPLETE map.  Early burst frames
+    # registered against a sparse map (just the entry anchor); now every
+    # frame sees the union of all frames' wedges — the cross-burst
+    # information pairwise registration cannot use.  Each frame's own slot
+    # is masked out of the reference (a cloud trivially matches its own
+    # copy at zero residual), and its slot is rewritten at the updated
+    # pose afterwards.
+    ii = jnp.arange(map_cap, dtype=jnp.int32)
+    slot_ids = jnp.where(ii < E, 0, 1 + (ii - E) // frame_budget)
+
+    # input-trajectory pose chain (for the residual-gain gate: both sides
+    # of the gain must be measured against the SAME reference — the
+    # complete map — else the gain conflates pose improvement with map
+    # densification)
+    def chain(carry, rt):
+        Rp, tp = carry
+        Rn, tn = se3.compose(Rp, tp, rt[0], rt[1])
+        return (Rn, tn), (Rn, tn)
+
+    _, (Rin_all, tin_all) = jax.lax.scan(
+        chain, (jnp.eye(3, dtype=ext_pts.dtype),
+                jnp.zeros((3,), ext_pts.dtype)), (rel_Rs, rel_ts))
+
+    def polish_step(carry, k):
+        map_pts, map_msk, R_all, t_all = carry
+        active = k <= span_len
+        pc = ext_pts[k]
+        msk = ext_mask[k] & active
+        ref_msk = map_msk & (slot_ids != k)
+        # residual at the INPUT pose vs the same complete map
+        pc_in = se3.apply(Rin_all[k - 1], tin_all[k - 1], pc)
+        _, dist0 = nearest_neighbors(pc_in, msk, map_pts, ref_msk)
+        r0m = _sat_mean(dist0, msk)
+        Rn, tn, ok, _, rlast = icp_vs_map(
+            pc, msk, map_pts, ref_msk, R_all[k], t_all[k])
+        use = ok & active
+        Rn = jnp.where(use, Rn, R_all[k])
+        tn = jnp.where(use, tn, t_all[k])
+        map_pts, map_msk = insert(map_pts, map_msk, k, pc, ext_mask[k],
+                                  Rn, tn, active)
+        R_all = R_all.at[k].set(Rn)
+        t_all = t_all.at[k].set(tn)
+        return (map_pts, map_msk, R_all, t_all), (use, r0m, rlast)
+
+    (map_pts, map_msk, R_all, t_all), (oks2, r0s, r1s) = jax.lax.scan(
+        polish_step, (map_pts, map_msk, R_all, t_all),
+        jnp.arange(1, max_span + 1))
+
+    # ---- sweep 3: healthy-to-healthy span closure.  The burst block can
+    # end internally consistent but rigidly offset from the world (each
+    # wedge frame's anchor evidence is individually biased, and the
+    # self-map outvotes the anchors — measured: interior rels exact to
+    # 0.02-0.08 deg while the block sat 1.8 m off).  The exit anchor and
+    # the entry anchor are both FULL-VIEW healthy frames, so their direct
+    # registration (exit cloud vs the anchor-only reference) is the one
+    # unbiased absolute measurement available; the caller distributes the
+    # chain-vs-closure mismatch smoothly over the span
+    # (``rescue_bursts``, backward_update-style).
+    anchor_ref = map_msk & (slot_ids == 0)
+    exit_pc = ext_pts[span_len]
+    exit_msk = ext_mask[span_len]
+    R_cl, t_cl, ok_cl, _, _ = icp_vs_map(
+        exit_pc, exit_msk, map_pts, anchor_ref,
+        R_all[span_len], t_all[span_len])
+
+    # rels from the solved pose chain: rel(k-1->k) = T_{k-1}^-1 T_k
+    Rp, tp = R_all[:-1], t_all[:-1]
+    Rn_, tn_ = R_all[1:], t_all[1:]
+    rRs = jnp.einsum("kji,kjl->kil", Rp, Rn_)
+    rTs = jnp.einsum("kji,kj->ki", Rp, tn_ - tp)
+    # inactive pairs pass input rels through
+    active = jnp.arange(max_span) < span_len
+    rRs = jnp.where(active[:, None, None], rRs, rel_Rs)
+    rTs = jnp.where(active[:, None], rTs, rel_ts)
+    # r0s/r1s: residual at the input vs final pose, BOTH against the
+    # complete self-excluded map (sweep 2) — the residual-gain evidence
+    return rRs, rTs, (oks | oks2) & active, r0s, r1s, R_cl, t_cl, ok_cl
+
+
+@dataclasses.dataclass
+class BurstStats:
+    spans: List = dataclasses.field(default_factory=list)      # (a, b)
+    accepted: List = dataclasses.field(default_factory=list)
+    rejected: List = dataclasses.field(default_factory=list)
+    gains: List = dataclasses.field(default_factory=list)      # (r0, r1)
+
+
+def find_burst_spans(healthy: np.ndarray, min_burst: int = 4,
+                     max_span: int = 62):
+    """Maximal runs of consecutive UNHEALTHY frames, extended by one
+    healthy anchor on each side.  Returns [(a, b)] frame spans (b
+    inclusive); runs longer than ``max_span - 1`` are split."""
+    healthy = np.asarray(healthy, bool)
+    n = len(healthy)
+    spans = []
+    i = 0
+    while i < n:
+        if healthy[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and not healthy[j + 1]:
+            j += 1
+        if j - i + 1 >= min_burst:
+            a = max(i - 1, 0)
+            b = min(j + 1, n - 1)
+            while b - a > max_span:
+                spans.append((a, a + max_span))
+                a = a + max_span
+            if b > a:
+                spans.append((a, b))
+        i = j + 1
+    return spans
+
+
+def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
+                  cfg: PipelineConfig, min_burst: int = 4,
+                  max_span: int = 62, thr_scale: float = 2.0):
+    """Apply burst map-ICP rescue to every qualifying unhealthy span of a
+    refined trajectory.  One device call per burst span; acceptance is the
+    same residual-gain evidence gate as pairwise refinement
+    (``RefineConfig.residual_gain_frac`` over the span's MEAN residuals).
+
+    Returns ``(poses, BurstStats)`` — poses unchanged where no span
+    qualifies or gains.
+    """
+    from .refine import _all_rels, _rt, _row
+
+    spans = find_burst_spans(healthy, min_burst=min_burst,
+                             max_span=max_span)
+    stats = BurstStats(spans=list(spans))
+    if not spans:
+        return poses, stats
+    poses = np.asarray(poses, np.float64).copy()
+    rcfg = cfg.refine
+    buckets = [b for b in (16, 32, 48, 62) if b <= max_span] or [max_span]
+    frame_budget = min(2048, cfg.icp.max_points)
+    for (a, b) in spans:
+        L = b - a                       # active pairs
+        # bucket the static span size so distinct bursts share compiles
+        ms = next((m for m in buckets if m >= L), max_span)
+        pad = ms + 1 - (L + 1)
+        idx = np.concatenate([np.arange(a, b + 1),
+                              np.full(pad, b)]).astype(np.int32)
+        fp = jax.tree.map(lambda x: x[jnp.asarray(idx)], ref_feats)
+        rels = [rel_lidar_fn(poses[k], poses[k + 1]) for k in range(a, b)]
+        relR = np.stack([r for r, _ in rels]
+                        + [np.eye(3)] * (ms - L)).astype(np.float32)
+        relT = np.stack([t for _, t in rels]
+                        + [np.zeros(3)] * (ms - L)).astype(np.float32)
+        (rRs, rTs, oks, r0s, r1s,
+         R_cl, t_cl, ok_cl) = burst_map_icp(
+            fp.ext_pts, fp.ext_mask, jnp.asarray(relR), jnp.asarray(relT),
+            jnp.asarray(L, jnp.int32), icp_cfg=cfg.icp, max_span=ms,
+            frame_budget=frame_budget, thr_scale=thr_scale)
+        oks = np.asarray(oks)[:L]
+        r0 = float(np.asarray(r0s)[:L][oks].mean()) if oks.any() else 0.0
+        r1 = float(np.asarray(r1s)[:L][oks].mean()) if oks.any() else 0.0
+        stats.gains.append((r0, r1))
+        gain_ok = (oks.mean() >= 0.5
+                   and (r0 - r1) >= max(rcfg.residual_gain_frac * r0,
+                                        rcfg.residual_gain_floor_m))
+        if not gain_ok:
+            stats.rejected.append((a, b))
+            continue
+        nR = np.asarray(rRs, np.float64)[:L]
+        nT = np.asarray(rTs, np.float64)[:L]
+        # healthy-to-healthy closure: distribute the chain-vs-direct
+        # mismatch over the span (the block-offset repair; see
+        # burst_map_icp sweep 3).  Gated on plausibility: a closure
+        # implying a correction beyond ~20% of span path length is a
+        # mismatched registration, not evidence.
+        if bool(ok_cl) and oks.all():
+            Rt = np.asarray(R_cl, np.float64)
+            tt = np.asarray(t_cl, np.float64)
+            cum = [(np.eye(3), np.zeros(3))]
+            for k in range(L):
+                Ck, ck = cum[-1]
+                cum.append((Ck @ nR[k], Ck @ nT[k] + ck))
+            Rc, tc = cum[L]
+            path = float(np.sum(np.linalg.norm(nT, axis=1)))
+            miss = float(np.linalg.norm(tt - tc))
+            if miss <= max(1.0, 0.2 * path):
+                from scipy.spatial.transform import Rotation
+
+                d_rotvec = Rotation.from_matrix(Rc.T @ Rt).as_rotvec() / L
+                d_t = (tt - tc) / L
+                prev = (np.eye(3), np.zeros(3))
+                for k in range(1, L + 1):
+                    Rk = cum[k][0] @ Rotation.from_rotvec(
+                        d_rotvec * k).as_matrix()
+                    tk = cum[k][1] + d_t * k
+                    nR[k - 1] = prev[0].T @ Rk
+                    nT[k - 1] = prev[0].T @ (tk - prev[1])
+                    prev = (Rk, tk)
+        # splice: replace the span's rels where solved, re-chain the tail
+        rel_Rs, rel_ts = _all_rels(poses)
+        for k in range(L):
+            if not oks[k]:
+                continue
+            dR, dt = _cam_rel(nR[k], nT[k], rel_lidar_fn, apply_rel_fn,
+                              poses[a + k])
+            rel_Rs[a + k], rel_ts[a + k] = dR, dt
+        for k in range(a + 1, len(poses)):
+            R0, t0 = _rt(poses[k - 1])
+            poses[k] = _row(R0 @ rel_Rs[k - 1], R0 @ rel_ts[k - 1] + t0)
+        stats.accepted.append((a, b))
+    return poses, stats
+
+
+def _cam_rel(relR_lidar, relT_lidar, rel_lidar_fn, apply_rel_fn, pose0):
+    """Convert a lidar-frame relative pose into the camera-frame rel used
+    by the pose chain, via the caller's own apply function (which holds the
+    calib): new_pose1 = apply(pose0, rel), then rel_cam = pose0^-1 pose1."""
+    p1 = apply_rel_fn(pose0, relR_lidar, relT_lidar)
+    P0 = np.asarray(pose0, np.float64).reshape(3, 4)
+    P1 = np.asarray(p1, np.float64).reshape(3, 4)
+    R = P0[:, :3].T @ P1[:, :3]
+    t = P0[:, :3].T @ (P1[:, 3] - P0[:, 3])
+    return R, t

@@ -206,6 +206,7 @@ def detect_and_close(features, register_fn: Callable = None,
                      dedup_window: int = 10,
                      use_scan_context: bool = False,
                      sc_min_score: float = 0.25,
+                     sc_matrix_min_score: float = 0.45,
                      register_batch_fn: Callable = None,
                      edge_gate_fn: Callable = None,
                      frame_valid=None,
@@ -270,9 +271,16 @@ def detect_and_close(features, register_fn: Callable = None,
         )
         pi, pj, pmask = np.asarray(pi), np.asarray(pj), np.asarray(pmask)
         yaws = [float(y) for y in np.asarray(y_all)]
-        # candidates come back similarity-ordered already; apply the score
-        # floor (same role as the re-rank path's sc_min_score gate)
-        pmask = pmask & (np.asarray(sc_s) >= sc_min_score)
+        # Candidates come back similarity-ordered already; apply the
+        # correlation-matrix score floor.  This floor is NOT sc_min_score:
+        # the matrix score is a whole-matrix cosine of NONNEGATIVE
+        # signatures, so even completely unrelated scenes measure
+        # ~0.39-0.43 (measured; the per-column align_score shares the
+        # bias) — a 0.25 floor discriminates nothing.  0.45 sits just
+        # above the unrelated-scene baseline: it prunes clearly-unrelated
+        # pairs from expensive geometric verification while the real
+        # filters remain verification + the drift/consistency gates.
+        pmask = pmask & (np.asarray(sc_s) >= sc_matrix_min_score)
     else:
         pi, pj, score, pmask = loop_candidates_per_frame(
             gd, valid, min_gap=min_gap, max_candidates=max_candidates

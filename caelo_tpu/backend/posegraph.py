@@ -257,13 +257,34 @@ def optimize_host(R0, t0, graph: PoseGraph, n_iters: int = 20,
             [wr[:, None] * r_rot, w[:, None] * r_t], axis=1).ravel()
         # gauge: drop node 0's columns
         Jf = J[:, 6:].tocsc()
-        H = (Jf.T @ Jf + damping * sp.identity(6 * (N - 1))).tocsc()
+        # Levenberg-style step control: pure GN is not globally convergent
+        # and a harsh residual (a near-pi rotation edge, a splice kink)
+        # can blow the iterates to overflow (observed on the degraded-turn
+        # benchmark: solved poses overflowed f32 and NaN'd the metrics).
+        # Accept a step only if it reduces the cost; otherwise raise the
+        # damping and re-solve (the factorization is milliseconds).
+        lam = damping
+        JtJ = (Jf.T @ Jf).tocsc()
         b = Jf.T @ r
-        delta = spla.spsolve(H, -b)
-        d = np.zeros((N, 6))
-        d[1:] = delta.reshape(N - 1, 6)
-        R = R @ exp_so3(d[:, 0:3])
-        t = t + d[:, 3:6]
+        stepped = False
+        for _ in range(8):
+            H = (JtJ + lam * sp.identity(6 * (N - 1))).tocsc()
+            delta = spla.spsolve(H, -b)
+            if not np.all(np.isfinite(delta)):
+                lam *= 100.0
+                continue
+            d = np.zeros((N, 6))
+            d[1:] = delta.reshape(N - 1, 6)
+            R_new = R @ exp_so3(d[:, 0:3])
+            t_new = t + d[:, 3:6]
+            rr2, rt2, _, _ = residuals(R_new, t_new)
+            if cost_of(rr2, rt2) <= cost:
+                R, t = R_new, t_new
+                stepped = True
+                break
+            lam *= 10.0
+        if not stepped:
+            break
     r_rot, r_t, _, _ = residuals(R, t)
     return R, t, cost_of(r_rot, r_t)
 

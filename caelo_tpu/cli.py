@@ -304,14 +304,14 @@ def cmd_full(args):
     _setup_platform(args)
     import numpy as np
 
-    from .config import PipelineConfig
+    from .config import PipelineConfig, ci_config
     from .data.kitti import KittiOdometry, save_kitti_poses
     from .models import weights_io
     from .pipeline import run_full_pipeline
 
     from .utils.telemetry import MetricsLog, StageTimer
 
-    cfg = PipelineConfig()
+    cfg = ci_config() if getattr(args, "ci", False) else PipelineConfig()
     ds = KittiOdometry(args.data, cfg)
     respond = weights_io.load_respond_layer_params()
     encoder = weights_io.load_patch_encoder_params()
@@ -417,6 +417,8 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=-1)
     p.add_argument("--no-refine", action="store_true")
     p.add_argument("--no-loops", action="store_true")
+    p.add_argument("--ci", action="store_true",
+                   help="CI-scale config (config.ci_config) — test trees")
     _add_common(p)
     p.set_defaults(fn=cmd_full)
 

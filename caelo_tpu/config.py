@@ -164,6 +164,11 @@ class VoxelConfig:
     # search for its slot lookup instead of the dense id map (which would
     # be 143 MB/frame there).
     bitgrid_slots: Tuple[int, int, int] = (81920, 6144, 512)
+    # Pallas bit-table plane gather (ops/pallas_patches.py): one 1 KB row
+    # DMA per (keypoint, covering supercell) instead of XLA's
+    # element-granular gather.  TPU only; A/B'd fetch-synced before any
+    # default flip (PALLAS_AB.json).
+    use_pallas_plane_gather: bool = False
 
     @property
     def voxel_sizes(self) -> Tuple[float, float, float]:
@@ -350,6 +355,23 @@ def small_test_config() -> PipelineConfig:
         ransac=RansacConfig(n_hypotheses=512),
         icp=IcpConfig(max_points=1024, max_planar=256, max_iters=10),
         max_points=16384,
+    )
+
+
+def ci_config() -> PipelineConfig:
+    """CPU-suite scale for the hard ray-cast benchmarks (0.8 deg azimuth,
+    ~25k pts/frame): every code path of the full config, ~16x less work.
+    The voxel caps are sized so the scale-0/1 occupied-voxel lists do NOT
+    saturate (~25.3k / ~16k occupied): a saturated list silently truncates
+    patches and degrades registration (measured: RTE 0.25 m -> 0.06 m on
+    pair 0)."""
+    cfg0 = small_test_config()
+    return dataclasses.replace(
+        cfg0,
+        sensor=dataclasses.replace(cfg0.sensor, azimuth_res_deg=0.8),
+        max_points=32768,
+        voxel=dataclasses.replace(cfg0.voxel,
+                                  max_voxels=(49152, 24576, 6144)),
     )
 
 

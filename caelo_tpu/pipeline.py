@@ -55,6 +55,9 @@ class FullPipelineResult:
         default_factory=lambda: np.zeros(0, np.int32))
     loop_edge_j: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int32))
+    # multi-frame burst rescue diagnostics (backend.burst.BurstStats) —
+    # None when the stage did not run (no unhealthy frames)
+    burst_stats: object = None
 
 
 # --------------------------------------------------------------- stage fns
@@ -405,6 +408,16 @@ def stage_loop_closure(poses_ref, feats, rel_Rs, rel_ts, R_tr, t_tr,
         # collapses it (measured 10.1 -> 0.30 m on the drift experiment).
         # Pose bookkeeping in host f64 is also the repo accuracy invariant.
         Ro, to, _ = optimize_host(R_w, t_w, g)
+        # Sanity fallback: a diverged/degenerate solve must never replace a
+        # finite trajectory with garbage (the solve is step-controlled, but
+        # defense in depth — the whole downstream metric chain NaNs
+        # otherwise)
+        if not (np.all(np.isfinite(Ro)) and np.all(np.isfinite(to))):
+            import sys
+
+            print("pose-graph solve returned non-finite poses; keeping the "
+                  "refined trajectory", file=sys.stderr)
+            return poses_ref, n_loops, loop_ei, loop_ej
         # back to camera pose rows: pose = T_world_lidar @ Tr^-1
         Rti = np.asarray(R_tr).T
         tti = -Rti @ np.asarray(t_tr)
@@ -610,6 +623,42 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     else:
         poses_ref, stats = poses_dj, refine.RefineStats()
 
+    # ---- stage 3b: multi-frame burst rescue.  Long unhealthy runs (a
+    # degradation burst through a turn) are informationally marginal for
+    # PAIRWISE registration — consecutive degraded frames see nearly the
+    # same sensor-locked wedge — so re-register each burst frame against a
+    # progressively accumulated local map anchored at the healthy entry
+    # frame (backend.burst); acceptance uses the same residual-gain
+    # evidence gate as pairwise refinement.
+    burst_stats = None
+    if enable_refinement and not np.all(healthy):
+        from .backend.burst import rescue_bursts
+
+        def rel_lidar_fn(p0, p1):
+            from .geometry.kitti_pose import rel_pose_lidar
+
+            R, t = rel_pose_lidar(
+                jnp.asarray(p0), jnp.asarray(p1),
+                jnp.asarray(R_tr, jnp.float64),
+                jnp.asarray(t_tr, jnp.float64))
+            return np.asarray(R), np.asarray(t)
+
+        def apply_rel_fn(pose0, relR, relT):
+            dR, dt = lidar_rel_to_cam(
+                jnp.asarray(relR), jnp.asarray(relT),
+                jnp.asarray(R_tr, jnp.float64),
+                jnp.asarray(t_tr, jnp.float64))
+            R0, t0 = refine._rt(pose0)
+            return refine._row(R0 @ np.asarray(dR), R0 @ np.asarray(dt) + t0)
+
+        with timer.stage("burst_rescue"):
+            poses_ref, burst_stats = rescue_bursts(
+                poses_ref, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
+                cfg)
+        if metrics and burst_stats.spans:
+            metrics.log("burst_rescue", spans=len(burst_stats.spans),
+                        accepted=len(burst_stats.accepted))
+
     # ---- stage 4: loop closure + pose-graph solve (lidar-frame graph)
     n_loops = 0
     poses_final = poses_ref
@@ -636,4 +685,5 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         n_loop_closures=n_loops,
         loop_edge_i=loop_ei,
         loop_edge_j=loop_ej,
+        burst_stats=burst_stats,
     )

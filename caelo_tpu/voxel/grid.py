@@ -409,17 +409,51 @@ def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
             s = slotmap[jnp.clip(jnp.where(ok, qid, 0), 0, n_ids - 1)]
             return jnp.where(ok & (s >= 0), s, slots)
     else:
-        drop = slots + jnp.arange(M, dtype=jnp.int32)
-        uids = jnp.full((slots + M,), big, jnp.int32).at[
-            jnp.where(is_first & (slot_of_sorted < slots),
-                      slot_of_sorted, drop)
-        ].set(lin_sorted, mode="drop", unique_indices=True)[:slots]
+        # Bitmap popcount-rank lookup (scale 0, where a dense id map would
+        # be 143 MB/frame): occupied ids set bits in a dense bitmap
+        # (n_ids/8 bytes = 4.6 MB at scale 0) and slot(qid) = rank of qid
+        # among occupied ids = prefix popcount up to qid.  Per query: ONE
+        # contiguous 16-word row gather + ONE block-prefix gather + VPU
+        # popcounts — versus the 17 dependent gathers of the searchsorted
+        # binary search this replaces (measured 2.9 ms/frame of the
+        # 12.7 ms scale-0 patch stage).
+        WPB = 16                       # words per rank block (512 ids)
+        n_words = -(-n_ids // 32)
+        n_blocks = -(-n_words // WPB)
+        occ_first = is_first & (slot_of_sorted < slots)
+        wi = jnp.where(occ_first, lin_sorted >> 5, n_blocks * WPB)
+        bit = jnp.where(occ_first, lin_sorted & 31, 0)
+        bitmap = jnp.zeros((n_blocks * WPB + 1,), jnp.int32).at[wi].add(
+            jnp.where(occ_first, jnp.int32(1) << bit, 0),
+            mode="drop",
+            # ids unique & ascending => word indices nondecreasing
+            indices_are_sorted=bool(cfg.presorted_pyramid))
+        words = bitmap[:n_blocks * WPB].reshape(n_blocks, WPB)
+        pc = jnp.sum(jax.lax.population_count(words), axis=1)
+        prefix = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(pc, dtype=jnp.int32)[:-1]])
 
         def lookup(qid, ok):
-            pos = jnp.searchsorted(uids, qid).astype(jnp.int32)
-            hit = ok & (pos < slots) & (
-                uids[jnp.clip(pos, 0, slots - 1)] == qid)
-            return jnp.where(hit, pos, slots)
+            q = jnp.where(ok, qid, 0)
+            w = q >> 5
+            b = w // WPB
+            widx = w % WPB
+            qbit = q & 31
+            row = words[b]                       # (..., WPB) contiguous
+            below = jnp.arange(WPB, dtype=jnp.int32) < widx[..., None]
+            full = jnp.sum(jnp.where(
+                below, jax.lax.population_count(row), 0), axis=-1)
+            word = jnp.sum(jnp.where(
+                jnp.arange(WPB, dtype=jnp.int32) == widx[..., None],
+                row, 0), axis=-1)
+            # bits strictly below qbit: ~((-1) << qbit) is exact for
+            # qbit in [0, 31] (qbit=31 -> bits 0..30)
+            part = jax.lax.population_count(
+                word & ~(jnp.int32(-1) << qbit))
+            rank = prefix[b] + full + part
+            hit = ok & (((word >> qbit) & 1) == 1)
+            return jnp.where(hit & (rank < slots), rank, slots)
 
     # build the bit table: word = slot*P*P + lx*P + ly, bit = lz.  With a
     # presorted pyramid each voxel's slot is its run's rank directly — no
@@ -465,7 +499,15 @@ def _patches_one_scale_bitgrid(kv, key_mask, vox, vox_mask,
     slot = lookup(nlin, okb)                          # slots = zero plane
     table2 = jnp.concatenate(
         [table, jnp.zeros((P * P,), jnp.int32)]).reshape(slots + 1, P, P)
-    planes = table2[slot]                             # (K, 2,2,2, P, P)
+    if (cfg.use_pallas_plane_gather and K % 16 == 0
+            and jax.default_backend() not in ("cpu",)):
+        # one contiguous 1 KB row DMA per (keypoint, covering cell)
+        # instead of XLA's element-granular gather (ops/pallas_patches.py)
+        from ..ops.pallas_patches import gather_planes_pallas
+
+        planes = gather_planes_pallas(table2, slot)
+    else:
+        planes = table2[slot]                         # (K, 2,2,2, P, P)
 
     # z: combine the two z-adjacent planes into 16-bit windows per column
     shift = (ox[:, 2] & pmask)[:, None, None, None, None]

@@ -29,6 +29,14 @@ def main():
                          "deg occluded wedge) over two spans — the "
                          "refinement-rescue scenario: the stage must "
                          "deliver ate_refined <= 0.8 * ate_dejumped")
+    ap.add_argument("--degraded-turn", action="store_true",
+                    help="the MARGINAL regime (VERDICT r4 item 2): a "
+                         "full-strength burst (0.8 dropout + 140 deg "
+                         "wedge) THROUGH a 20 deg/s turn, where pairwise "
+                         "registration is degenerate and the multi-frame "
+                         "burst rescue (backend.burst) must repair; gates "
+                         "ate_refined <= 0.8 * ate_dejumped and "
+                         "post-refinement success >= 95%")
     ap.add_argument("--json-out", default="")
     ap.add_argument("--window", type=int, default=0,
                     help="front-end window size (0 = pipeline default)")
@@ -80,12 +88,21 @@ def main():
         # seed, degraded at another); see the calibration note above
         degraded_spans = [(int(150 * f), int(190 * f), 0.8, 140.0),
                           (int(345 * f), int(372 * f), 0.5, 80.0)]
+    if args.degraded_turn:
+        # full-strength burst crossing the first 20 deg/s turn (~85-130):
+        # the regime where consecutive degraded frames share one
+        # sensor-locked wedge and pairwise evidence is degenerate
+        f = args.frames / 520.0
+        degraded_spans = (degraded_spans or []) + [
+            (int(88 * f), int(128 * f), 0.8, 140.0)]
+        args.degraded = True
     cache_file = ""
     if args.scan_cache:
         import os
 
         os.makedirs(args.scan_cache, exist_ok=True)
-        tag = "deg" if args.degraded else "clean"
+        tag = ("degturn" if args.degraded_turn
+               else "deg" if args.degraded else "clean")
         cache_file = os.path.join(
             args.scan_cache, f"hb_{args.frames}_{args.seed}_{tag}.npz")
     if cache_file and os.path.exists(cache_file):
@@ -183,14 +200,32 @@ def main():
         st = result.refine_stats
         out["refined_spans"] = len(st.refined)
         out["failed_spans"] = len(st.failed)
+        bs = result.burst_stats
+        if bs is not None:
+            out["burst_spans"] = bs.spans
+            out["burst_accepted"] = bs.accepted
+            out["burst_gains"] = [[round(a, 4), round(b, 4)]
+                                  for a, b in bs.gains]
+        # post-refinement per-pair quality: the rescue must leave the
+        # refined trajectory's own rels good, not only shrink ATE
+        errs_ref = relative_pose_errors(poses_gt, result.poses_refined,
+                                        R_tr, t_tr)
+        sum_ref = registration_summary(errs_ref)
+        out["success_rate_refined"] = sum_ref["success_rate"]
+        out["rre_deg_refined"] = sum_ref["rre_deg"]
         rescue_ok = (out["ate_refined_m"] <= 0.8 * out["ate_dejumped_m"]
-                     and len(st.refined) > 0)
+                     and (len(st.refined) > 0
+                          or (bs is not None and len(bs.accepted) > 0)))
         print(f"RESCUE {'PASS' if rescue_ok else 'FAIL'}: ATE dejumped "
               f"{out['ate_dejumped_m']:.2f} -> refined "
               f"{out['ate_refined_m']:.2f} m (must reach 0.8x), "
-              f"{len(st.refined)} spans refined, {len(st.failed)} failed",
+              f"{len(st.refined)} spans refined, {len(st.failed)} failed, "
+              f"bursts {bs.accepted if bs else []}, "
+              f"success_refined {sum_ref['success_rate']*100:.2f}%",
               file=sys.stderr)
         gates_ok = rescue_ok and summary["rre_deg"] < 1.0
+        if args.degraded_turn:
+            gates_ok = gates_ok and sum_ref["success_rate"] >= 0.95
     else:
         gates_ok = (summary["rre_deg"] < 1.0 and summary["rte_m"] < 0.5
                     and summary["success_rate"] >= 0.99)

@@ -52,13 +52,25 @@ def main():
     ap.add_argument("--out", default="runs/kitti_golden")
     ap.add_argument("--no-loops", action="store_true")
     ap.add_argument("--json-out", default="KITTI_GOLDEN.json")
+    ap.add_argument("--ci-config", action="store_true",
+                    help="CI-scale config (config.ci_config) so the whole "
+                         "ready-path — tree load, calib conjugation, full "
+                         "pipeline, golden-row comparison — runs in the CPU "
+                         "test suite against a synthetic KITTI-format tree")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. cpu)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from caelo_tpu.utils.compcache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    from caelo_tpu.config import PipelineConfig
+    from caelo_tpu.config import PipelineConfig, ci_config
     from caelo_tpu.data.kitti import KittiOdometry, save_kitti_poses
     from caelo_tpu.eval.metrics import (absolute_trajectory_error,
                                         kitti_drift, registration_summary,
@@ -67,7 +79,7 @@ def main():
     from caelo_tpu.pipeline import run_full_pipeline
     from caelo_tpu.utils.telemetry import StageTimer
 
-    cfg = PipelineConfig()
+    cfg = ci_config() if args.ci_config else PipelineConfig()
     ds = KittiOdometry(args.data, cfg)
     respond = weights_io.load_respond_layer_params()
     encoder = weights_io.load_patch_encoder_params()

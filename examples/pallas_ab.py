@@ -107,6 +107,48 @@ def main():
 
     results["nms_winner"] = ("pallas" if results["nms_pallas_ms_per_frame"]
                              < results["nms_xla_ms_per_frame"] else "xla")
+
+    # ---- scale-0 plane gather A/B (ops/pallas_patches.py: one 1 KB row
+    # DMA per (keypoint, covering cell) vs XLA's element-granular gather)
+    from caelo_tpu.voxel.grid import (_patches_one_scale_bitgrid,
+                                      keypoint_voxels, voxelize)
+
+    kp_all = jax.jit(jax.vmap(lambda im, cn, rs: select_keypoints(
+        im, cn, rs, cfg.sensor, cfg.keypoint)))(images, counters, responds)
+    key_pts, _, key_mask, _ = kp_all
+    pyr = jax.jit(jax.vmap(lambda p, m: voxelize(
+        p[:, :3], m, cfg.voxel)))(pts, msk)
+    jax.block_until_ready(pyr.coords[0])
+
+    def s0_with(flag):
+        vx = dataclasses.replace(cfg.voxel, use_pallas_plane_gather=flag)
+
+        def run(kp, km, coords, masks):
+            def one(a, b, c, d):
+                kv = keypoint_voxels(a, 0, vx)
+                return _patches_one_scale_bitgrid(
+                    kv, b, c, d, vx, 0, vx.bitgrid_slots[0])
+            return jax.vmap(one)(kp, km, coords, masks)
+        return run
+
+    def perturb_s0(r, kp, km, coords, masks):
+        return kp + 1e-4 * (r + 1), km, coords, masks
+
+    parity = None
+    outs = {}
+    for name, flag in (("xla", False), ("pallas", True)):
+        t = timed(s0_with(flag), key_pts, key_mask,
+                  pyr.coords[0], pyr.masks[0], perturb=perturb_s0)
+        results[f"plane_gather_{name}_s0_ms_per_frame"] = round(
+            t * 1e3 / B, 3)
+        outs[name] = s0_with(flag)(key_pts, key_mask, pyr.coords[0],
+                                   pyr.masks[0])
+    parity = float(jnp.max(jnp.abs(outs["xla"] - outs["pallas"])))
+    results["plane_gather_parity_maxdiff"] = parity
+    results["plane_gather_winner"] = (
+        "pallas" if parity == 0.0
+        and results["plane_gather_pallas_s0_ms_per_frame"]
+        < results["plane_gather_xla_s0_ms_per_frame"] else "xla")
     # (the Pallas streaming-argmin NN kernel lost its A/B — 1.93 vs
     # 1.81 ms/call on v5e, recorded in PALLAS_AB.json — and was deleted)
     results["device"] = str(jax.devices()[0].device_kind)

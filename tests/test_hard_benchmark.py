@@ -25,17 +25,12 @@ from caelo_tpu.models import weights_io
 
 
 def hard_ci_config():
-    """Scaled sensor/caps for the CPU suite.  The voxel caps are sized so
-    the scale-0/1 occupied-voxel lists do NOT saturate (~25.3k / ~16k
-    occupied): a saturated list silently truncates patches and degrades
-    registration (measured: RTE 0.25 m -> 0.06 m on pair 0)."""
-    cfg0 = small_test_config()
-    return dataclasses.replace(
-        cfg0,
-        sensor=dataclasses.replace(cfg0.sensor, azimuth_res_deg=0.8),
-        max_points=32768,
-        voxel=dataclasses.replace(cfg0.voxel, max_voxels=(49152, 24576, 6144)),
-    )
+    """Scaled sensor/caps for the CPU suite — now the package-level
+    ``config.ci_config`` (the ``--ci`` flag of ``cli full`` and
+    ``kitti_golden.py`` uses the same one)."""
+    from caelo_tpu.config import ci_config
+
+    return ci_config()
 
 
 def test_trajectory_and_raycast_shape():

@@ -33,3 +33,16 @@ def test_pallas_saliency_matches_oracle(rng):
     fin = np.isfinite(md_ref)
     np.testing.assert_array_equal(np.isfinite(md), fin)
     np.testing.assert_allclose(md[fin], md_ref[fin], atol=1e-4)
+
+
+def test_pallas_plane_gather_matches_indexing(rng):
+    from caelo_tpu.ops.pallas_patches import gather_planes_pallas
+
+    S, P, K = 300, 16, 32
+    table2 = rng.integers(0, 2**31 - 1, (S + 1, P, P)).astype(np.int32)
+    table2[S] = 0                       # zero plane for missing cells
+    slot = rng.integers(0, S + 1, (K, 2, 2, 2)).astype(np.int32)
+    out = gather_planes_pallas(jnp.asarray(table2), jnp.asarray(slot),
+                               interpret=True)
+    ref = table2[slot]
+    np.testing.assert_array_equal(np.asarray(out), ref)

@@ -149,9 +149,11 @@ def burst_map_icp(ext_pts: jnp.ndarray, ext_mask: jnp.ndarray,
         Rd, td, _, _, _, n_in, r0m, rlast = jax.lax.fori_loop(
             0, icp_cfg.max_iters, body, st)
         ok = n_in >= icp_cfg.min_inliers
-        # composed frame->map pose
+        # composed frame->map pose, re-projected to SO(3): the whole span
+        # chains these on DEVICE, so bf16-matmul-pass drift must be
+        # squashed per frame (see se3.compose)
         Rn, tn = se3.compose(Rd, td, R0, t0)
-        return Rn, tn, ok, r0m, rlast
+        return se3.project_so3(Rn), tn, ok, r0m, rlast
 
     def insert(map_pts, map_msk, k, pc, msk, Rn, tn, active):
         """Write frame k's transformed subsample at its fixed slot."""
@@ -388,6 +390,27 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
                     nR[k - 1] = prev[0].T @ Rk
                     nT[k - 1] = prev[0].T @ (tk - prev[1])
                     prev = (Rk, tk)
+        import os
+        if os.environ.get("CAELO_DEBUG_BURST"):
+            np.savez(os.environ["CAELO_DEBUG_BURST"] + f"_{a}_{b}.npz",
+                     nR=nR, nT=nT, oks=oks,
+                     R_cl=np.asarray(R_cl), t_cl=np.asarray(t_cl),
+                     ok_cl=np.asarray(ok_cl),
+                     r0s=np.asarray(r0s)[:L], r1s=np.asarray(r1s)[:L],
+                     poses=poses)
+        # orthonormality guard: a corrupt rotation in the splice scales the
+        # whole downstream chain EXPONENTIALLY (det != 1 compounds through
+        # every later pose) — refuse the span instead
+        orth = np.max(np.abs(
+            np.einsum("kji,kjl->kil", nR, nR)
+            - np.eye(3)[None]), axis=(1, 2))
+        if np.any(orth > 1e-3):
+            stats.rejected.append((a, b))
+            import sys
+            print(f"burst span ({a}, {b}): non-orthonormal solved rel "
+                  f"(max dev {orth.max():.2e}) — span refused",
+                  file=sys.stderr)
+            continue
         # splice: replace the span's rels where solved, re-chain the tail
         rel_Rs, rel_ts = _all_rels(poses)
         for k in range(L):

@@ -107,7 +107,11 @@ def main():
             args.scan_cache, f"hb_{args.frames}_{args.seed}_{tag}.npz")
     if cache_file and os.path.exists(cache_file):
         z = np.load(cache_file)
-        scans = [(z["pts"][i], z["msk"][i]) for i in range(z["pts"].shape[0])]
+        # bind the arrays ONCE: each ``z["pts"]`` access decompresses the
+        # whole member afresh, and a slice of that fresh array pins its
+        # full 1.1 GB base — 520 accesses OOM'd the host at 123 GB
+        zp, zm = z["pts"], z["msk"]
+        scans = [(zp[i], zm[i]) for i in range(zp.shape[0])]
         poses_gt = z["gt"]
         print(f"loaded {args.frames} cached frames from {cache_file}",
               file=sys.stderr)

@@ -41,6 +41,10 @@ def main():
                          "stays O(window))")
     ap.add_argument("--window", type=int, default=0,
                     help="front-end window size (0 = pipeline default)")
+    ap.add_argument("--candidate-source", default="descriptor",
+                    choices=["descriptor", "scancontext"],
+                    help="loop-closure candidate source (the SC "
+                         "correlation-matrix A/B, VERDICT r4 item 5)")
     args = ap.parse_args()
 
     from caelo_tpu.utils.compcache import enable_compilation_cache
@@ -96,7 +100,9 @@ def main():
     pipe_kwargs = {"window": args.window} if args.window > 0 else {}
     result = run_full_pipeline(scans, respond, encoder, cfg=cfg,
                                enable_loop_closure=True, timer=timer,
-                               seed=args.seed, **pipe_kwargs)
+                               seed=args.seed,
+                               candidate_source=args.candidate_source,
+                               **pipe_kwargs)
     wall = time.time() - t0
     print(f"pipeline: {wall:.1f} s ({args.frames / wall:.2f} frames/s e2e, "
           f"rss {rss_gb():.1f} GB)", file=sys.stderr)
@@ -113,6 +119,8 @@ def main():
                          poses_gt.reshape(-1, 3, 4)[:, :, 3])
     out = {
         "frames": args.frames,
+        "window": args.window,
+        "candidate_source": args.candidate_source,
         "gen_seconds": round(gen_s, 1),
         "pipeline_seconds": round(wall, 1),
         "frames_per_s_e2e": round(args.frames / wall, 2),

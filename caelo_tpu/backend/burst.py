@@ -260,11 +260,15 @@ def burst_map_icp(ext_pts: jnp.ndarray, ext_mask: jnp.ndarray,
         exit_pc, exit_msk, map_pts, anchor_ref,
         R_all[span_len], t_all[span_len])
 
-    # rels from the solved pose chain: rel(k-1->k) = T_{k-1}^-1 T_k
+    # rels from the solved pose chain: rel(k-1->k) = T_{k-1}^-1 T_k.
+    # HIGHEST precision: default bf16 matmul passes put ~1e-2 of
+    # non-orthogonality into the rels (see se3.compose)
     Rp, tp = R_all[:-1], t_all[:-1]
     Rn_, tn_ = R_all[1:], t_all[1:]
-    rRs = jnp.einsum("kji,kjl->kil", Rp, Rn_)
-    rTs = jnp.einsum("kji,kj->ki", Rp, tn_ - tp)
+    rRs = jnp.einsum("kji,kjl->kil", Rp, Rn_,
+                     precision=jax.lax.Precision.HIGHEST)
+    rTs = jnp.einsum("kji,kj->ki", Rp, tn_ - tp,
+                     precision=jax.lax.Precision.HIGHEST)
     # inactive pairs pass input rels through
     active = jnp.arange(max_span) < span_len
     rRs = jnp.where(active[:, None, None], rRs, rel_Rs)
@@ -422,6 +426,9 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
         for k in range(a + 1, len(poses)):
             R0, t0 = _rt(poses[k - 1])
             poses[k] = _row(R0 @ rel_Rs[k - 1], R0 @ rel_ts[k - 1] + t0)
+        if os.environ.get("CAELO_DEBUG_BURST"):
+            np.savez(os.environ["CAELO_DEBUG_BURST"] + f"_{a}_{b}_post.npz",
+                     poses=poses, rel_Rs=rel_Rs, rel_ts=rel_ts)
         stats.accepted.append((a, b))
     return poses, stats
 

@@ -31,8 +31,29 @@ def _rt(pose):
     return P[:, :3], P[:, 3]
 
 
+def _orth(R):
+    """Project a near-rotation onto SO(3) (Gram-Schmidt rows, f64).
+
+    Every pose row written by the host bookkeeping passes through here:
+    device-computed corrections carry up to ~1e-4 of determinant error
+    (f32 storage + MXU bf16 passes), and the de-jump / refinement /
+    burst-splice cycles repeatedly RE-DERIVE rels from poses and re-chain
+    — which compounds any det != 1 multiplicatively (measured: pose dets
+    1.0 -> 1.57 over 519 frames, then an accepted burst splice re-chained
+    those rels into det 7e54 / ATE 8e30).  Projecting at the write
+    boundary caps the error of every cycle at the write's own precision
+    instead of letting cycles multiply."""
+    R = np.asarray(R, np.float64)
+    r0 = R[0] / max(np.linalg.norm(R[0]), 1e-300)
+    r1 = R[1] - (r0 @ R[1]) * r0
+    r1 = r1 / max(np.linalg.norm(r1), 1e-300)
+    return np.stack([r0, r1, np.cross(r0, r1)])
+
+
 def _row(R, t):
-    return np.concatenate([R, t.reshape(3, 1)], axis=1).reshape(12)
+    return np.concatenate(
+        [_orth(R), np.asarray(t, np.float64).reshape(3, 1)], axis=1
+    ).reshape(12)
 
 
 def _rel(pose0, pose1):

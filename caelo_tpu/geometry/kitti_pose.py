@@ -107,6 +107,14 @@ def chain_poses(rel_Rs, rel_ts, R_tr, t_tr, pose0=None):
     for k in range(N):
         t = R @ dt[k] + t
         R = R @ dR[k]
+        # re-orthonormalize as we chain: the device rels are f32 (det
+        # 1 +- ~1e-6 each) and downstream bookkeeping RE-DERIVES rels from
+        # these poses and re-chains — any accumulated det error compounds
+        # multiplicatively there (see backend.refine._orth)
+        r0 = R[0] / np.linalg.norm(R[0])
+        r1 = R[1] - (r0 @ R[1]) * r0
+        r1 = r1 / np.linalg.norm(r1)
+        R = np.stack([r0, r1, np.cross(r0, r1)])
         out[k + 1] = np.concatenate([R, t[:, None]], axis=1).reshape(12)
     return out
 

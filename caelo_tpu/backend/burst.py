@@ -239,9 +239,57 @@ def burst_map_icp(ext_pts: jnp.ndarray, ext_mask: jnp.ndarray,
         t_all = t_all.at[k].set(tn)
         return (map_pts, map_msk, R_all, t_all), (use, r0m, rlast)
 
-    (map_pts, map_msk, R_all, t_all), (oks2, r0s, r1s) = jax.lax.scan(
+    (map_pts, map_msk, R_all, t_all), (oks2, r0s, _) = jax.lax.scan(
         polish_step, (map_pts, map_msk, R_all, t_all),
         jnp.arange(1, max_span + 1))
+
+    # ---- mid-closure: register the exit anchor against the entry-anchor
+    # reference NOW, distribute the endpoint delta smoothly over the span
+    # ON DEVICE (rotation-vector interpolation), rebuild the map at the
+    # corrected poses, and polish once more.  The first polish leaves the
+    # span internally consistent but smoothly bowed (each frame's absolute
+    # evidence is its biased wedge); polishing against a globally-anchored
+    # map straightens the interior, which endpoint-only distribution
+    # cannot.
+    def closure_delta(R_all, t_all):
+        Rl, tl_, okl, _, _ = icp_vs_map(
+            ext_pts[span_len], ext_mask[span_len],
+            map_pts, map_msk & (slot_ids == 0),
+            R_all[span_len], t_all[span_len])
+        return Rl, tl_, okl
+
+    Rl_m, tl_m, okl_m = closure_delta(R_all, t_all)
+    RL, tL = R_all[span_len], t_all[span_len]
+    d_rotvec = se3.log_so3(jnp.einsum(
+        "ji,jk->ik", RL, Rl_m, precision=jax.lax.Precision.HIGHEST))
+    d_t = tl_m - tL
+    frac = (jnp.clip(jnp.arange(max_span + 1, dtype=jnp.float32)
+                     / jnp.maximum(span_len.astype(jnp.float32), 1.0),
+                     0.0, 1.0))
+    Rcorr = jax.vmap(se3.exp_so3)(d_rotvec[None, :] * frac[:, None])
+    R_dist = se3.project_so3(jnp.einsum(
+        "kij,kjl->kil", R_all, Rcorr,
+        precision=jax.lax.Precision.HIGHEST))
+    t_dist = t_all + d_t[None, :] * frac[:, None]
+    use_cl = okl_m
+    R_all = jnp.where(use_cl, R_dist, R_all)
+    t_all = jnp.where(use_cl, t_dist, t_all)
+
+    # rebuild the map at the corrected poses (insert-only scan)
+    def rebuild_step(carry, k):
+        map_pts, map_msk = carry
+        active = k <= span_len
+        map_pts, map_msk = insert(map_pts, map_msk, k, ext_pts[k],
+                                  ext_mask[k], R_all[k], t_all[k], active)
+        return (map_pts, map_msk), None
+
+    (map_pts, map_msk), _ = jax.lax.scan(
+        rebuild_step, (map_pts, map_msk), jnp.arange(1, max_span + 1))
+
+    (map_pts, map_msk, R_all, t_all), (oks3, _, r1s) = jax.lax.scan(
+        polish_step, (map_pts, map_msk, R_all, t_all),
+        jnp.arange(1, max_span + 1))
+    oks2 = oks2 | oks3
 
     # ---- sweep 3: healthy-to-healthy span closure.  The burst block can
     # end internally consistent but rigidly offset from the world (each

@@ -53,6 +53,29 @@ def synthetic_scan_stream(cfg: PipelineConfig, seed: int = 0
         i += 1
 
 
+def cached_scan_stream(npz_paths, shuffle_seed: int = 0
+                       ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Cycle scans from on-disk benchmark caches (the ``pts``/``msk``
+    stacks ``examples/hard_benchmark.py --scan-cache`` writes).  This is
+    how training runs on the HARD distribution — ray-cast circuit scans
+    including degraded bursts — without paying per-step ray casting
+    (~0.3 s/frame); frames are drawn in shuffled order, reshuffled per
+    pass."""
+    rng = np.random.default_rng(shuffle_seed)
+    stacks = []
+    for p in npz_paths:
+        z = np.load(p)
+        stacks.append((z["pts"], z["msk"]))
+    n_total = sum(s[0].shape[0] for s in stacks)
+    while True:
+        order = rng.permutation(n_total)
+        bounds = np.cumsum([0] + [s[0].shape[0] for s in stacks])
+        for g in order:
+            si = int(np.searchsorted(bounds, g, side="right") - 1)
+            i = int(g - bounds[si])
+            yield stacks[si][0][i], stacks[si][1][i]
+
+
 def kitti_scan_stream(root: str, cfg: PipelineConfig, seqs=None
                       ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     from ..data.kitti import KittiOdometry

@@ -51,6 +51,12 @@ def main():
                          "repeat runs")
     ap.add_argument("--candidate-source", default="descriptor",
                     choices=["descriptor", "scancontext"])
+    ap.add_argument("--weights", default="",
+                    help="load trained respond_ae/patch_ae checkpoints "
+                         "from this directory (train_from_scratch_study "
+                         "output) instead of the shipped .h5 models; "
+                         "encoder activations switch to the training "
+                         "recipe (relu convs + linear code)")
     args = ap.parse_args()
     pipe_seed = args.pipeline_seed if args.pipeline_seed >= 0 else args.seed
 
@@ -69,8 +75,21 @@ def main():
     from caelo_tpu.utils.telemetry import StageTimer
 
     cfg = PipelineConfig()
-    respond = weights_io.load_respond_layer_params()
-    encoder = weights_io.load_patch_encoder_params()
+    if args.weights:
+        import dataclasses
+        import os
+
+        p2 = weights_io.load_checkpoint(
+            os.path.join(args.weights, "respond_ae"))
+        p3 = weights_io.load_checkpoint(
+            os.path.join(args.weights, "patch_ae"))
+        respond = weights_io.respond_params_from_ae(p2)
+        encoder = weights_io.encoder_params_from_ae(p3)
+        cfg = dataclasses.replace(cfg, encoder_activation="relu",
+                                  encoder_code_activation="linear")
+    else:
+        respond = weights_io.load_respond_layer_params()
+        encoder = weights_io.load_patch_encoder_params()
 
     t0 = time.time()
     degraded_spans = None

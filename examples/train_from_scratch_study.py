@@ -48,7 +48,41 @@ from caelo_tpu.training.train import (create_train_state, make_train_step,
                                       patch_loss, respond_loss)
 
 
-def train_both(cfg: PipelineConfig, steps2d: int, steps3d: int, out: str):
+def _train_loop(state, step, batches, max_steps: int, tag: str,
+                plateau_window: int = 0, plateau_tol: float = 0.01,
+                min_steps: int = 0):
+    """Run until ``max_steps`` or, with ``plateau_window``, until the
+    median loss over the last window improves on the previous window by
+    less than ``plateau_tol`` (relative) — the convergence criterion of
+    VERDICT r4 item 6."""
+    losses = []
+    t0 = time.time()
+    for i, batch in enumerate(batches):
+        if i >= max_steps:
+            break
+        state, loss = step(state, jnp.asarray(batch))
+        losses.append(float(loss))
+        if i % 25 == 0:
+            print(f"{tag} step {i}: loss={losses[-1]:.5f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        W = plateau_window
+        if (W and i >= max(min_steps, 2 * W) and i % W == 0):
+            prev = float(np.median(losses[-2 * W:-W]))
+            cur = float(np.median(losses[-W:]))
+            if prev - cur < plateau_tol * max(abs(prev), 1e-9):
+                print(f"{tag}: plateau at step {i} "
+                      f"({prev:.5f} -> {cur:.5f})", flush=True)
+                break
+    return state, losses
+
+
+def train_both(cfg: PipelineConfig, steps2d: int, steps3d: int, out: str,
+               scan_stream_fn=None, plateau_window: int = 0):
+    """Train both AEs.  ``scan_stream_fn(seed) -> iterator`` selects the
+    training distribution (default: easy synthetic scenes; the convergence
+    study passes the hard-circuit cache stream)."""
+    if scan_stream_fn is None:
+        scan_stream_fn = lambda seed: synthetic_scan_stream(cfg, seed=seed)
     # ---- 2D respond AE (MSE/Adam, AE4SphericalRingPC.py:150)
     model2 = SphericalRingAE()
     opt2 = optax.adam(1e-3)
@@ -57,17 +91,10 @@ def train_both(cfg: PipelineConfig, steps2d: int, steps3d: int, out: str):
         jnp.zeros((1, cfg.sensor.model_h, cfg.sensor.model_w, 3)), opt2,
     )
     step2 = make_train_step(model2, respond_loss, opt2)
-    losses2 = []
-    t0 = time.time()
-    for i, batch in enumerate(respond_batches(
-            synthetic_scan_stream(cfg, seed=100), cfg, batch=4)):
-        if i >= steps2d:
-            break
-        state2, loss = step2(state2, jnp.asarray(batch))
-        losses2.append(float(loss))
-        if i % 20 == 0:
-            print(f"respond step {i}: loss={losses2[-1]:.5f} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
+    state2, losses2 = _train_loop(
+        state2, step2,
+        respond_batches(scan_stream_fn(100), cfg, batch=4),
+        steps2d, "respond", plateau_window=plateau_window)
     respond_trained = weights_io.respond_params_from_ae(state2.params)
 
     # ---- 3D voxel-patch AE (BCE, AE4VoxelPatch.py:213), patches anchored at
@@ -78,18 +105,11 @@ def train_both(cfg: PipelineConfig, steps2d: int, steps3d: int, out: str):
         model3, jax.random.key(1), jnp.zeros((1, 16, 16, 16)), opt3,
     )
     step3 = make_train_step(model3, patch_loss, opt3)
-    losses3 = []
-    t0 = time.time()
-    for i, batch in enumerate(patch_batches(
-            synthetic_scan_stream(cfg, seed=200), cfg, batch=128,
-            respond_params=respond_trained)):
-        if i >= steps3d:
-            break
-        state3, loss = step3(state3, jnp.asarray(batch))
-        losses3.append(float(loss))
-        if i % 20 == 0:
-            print(f"patch step {i}: loss={losses3[-1]:.5f} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
+    state3, losses3 = _train_loop(
+        state3, step3,
+        patch_batches(scan_stream_fn(200), cfg, batch=128,
+                      respond_params=respond_trained),
+        steps3d, "patch", plateau_window=plateau_window)
     encoder_trained = weights_io.encoder_params_from_ae(state3.params)
 
     weights_io.save_checkpoint(os.path.join(out, "respond_ae"), state2.params)
@@ -174,6 +194,14 @@ def main():
     ap.add_argument("--eval-only", default="",
                     help="skip training; load respond_ae/patch_ae "
                          "checkpoints from this directory")
+    ap.add_argument("--hard-caches", default="",
+                    help="comma-separated hard-benchmark scan caches "
+                         "(.npz) to TRAIN on — the hard-circuit "
+                         "distribution incl. degraded bursts (VERDICT r4 "
+                         "item 6); with --plateau the loops run to a "
+                         "loss-plateau convergence criterion")
+    ap.add_argument("--plateau", type=int, default=0,
+                    help="plateau window (steps); 0 = fixed step counts")
     args = ap.parse_args()
 
     cfg = PipelineConfig()
@@ -186,10 +214,19 @@ def main():
         encoder_t = weights_io.encoder_params_from_ae(p3)
         l2 = l3 = [float("nan"), float("nan")]
     else:
+        stream_fn = None
+        if args.hard_caches:
+            from caelo_tpu.training.drivers import cached_scan_stream
+
+            paths = [p for p in args.hard_caches.split(",") if p]
+            stream_fn = lambda seed: cached_scan_stream(paths,
+                                                        shuffle_seed=seed)
         respond_t, encoder_t, l2, l3 = train_both(
-            cfg, args.steps2d, args.steps3d, args.out)
-        print(f"respond loss {l2[0]:.5f} -> {l2[-1]:.5f}; "
-              f"patch loss {l3[0]:.5f} -> {l3[-1]:.5f}", flush=True)
+            cfg, args.steps2d, args.steps3d, args.out,
+            scan_stream_fn=stream_fn, plateau_window=args.plateau)
+        print(f"respond loss {l2[0]:.5f} -> {l2[-1]:.5f} "
+              f"({len(l2)} steps); patch loss {l3[0]:.5f} -> {l3[-1]:.5f} "
+              f"({len(l3)} steps)", flush=True)
 
     # trained checkpoints use the training activations (relu convs + linear
     # code); the shipped artifact is tanh (see models/patch_encoder.py)

@@ -251,45 +251,43 @@ def burst_map_icp(ext_pts: jnp.ndarray, ext_mask: jnp.ndarray,
     # evidence is its biased wedge); polishing against a globally-anchored
     # map straightens the interior, which endpoint-only distribution
     # cannot.
-    def closure_delta(R_all, t_all):
-        Rl, tl_, okl, _, _ = icp_vs_map(
-            ext_pts[span_len], ext_mask[span_len],
-            map_pts, map_msk & (slot_ids == 0),
-            R_all[span_len], t_all[span_len])
-        return Rl, tl_, okl
-
-    Rl_m, tl_m, okl_m = closure_delta(R_all, t_all)
-    RL, tL = R_all[span_len], t_all[span_len]
-    d_rotvec = se3.log_so3(jnp.einsum(
-        "ji,jk->ik", RL, Rl_m, precision=jax.lax.Precision.HIGHEST))
-    d_t = tl_m - tL
     frac = (jnp.clip(jnp.arange(max_span + 1, dtype=jnp.float32)
                      / jnp.maximum(span_len.astype(jnp.float32), 1.0),
                      0.0, 1.0))
-    Rcorr = jax.vmap(se3.exp_so3)(d_rotvec[None, :] * frac[:, None])
-    R_dist = se3.project_so3(jnp.einsum(
-        "kij,kjl->kil", R_all, Rcorr,
-        precision=jax.lax.Precision.HIGHEST))
-    t_dist = t_all + d_t[None, :] * frac[:, None]
-    use_cl = okl_m
-    R_all = jnp.where(use_cl, R_dist, R_all)
-    t_all = jnp.where(use_cl, t_dist, t_all)
+    r1s = None
+    for _round in range(2):
+        Rl_m, tl_m, okl_m, _, _ = icp_vs_map(
+            ext_pts[span_len], ext_mask[span_len],
+            map_pts, map_msk & (slot_ids == 0),
+            R_all[span_len], t_all[span_len])
+        RL, tL = R_all[span_len], t_all[span_len]
+        d_rotvec = se3.log_so3(jnp.einsum(
+            "ji,jk->ik", RL, Rl_m, precision=jax.lax.Precision.HIGHEST))
+        d_t = tl_m - tL
+        Rcorr = jax.vmap(se3.exp_so3)(d_rotvec[None, :] * frac[:, None])
+        R_dist = se3.project_so3(jnp.einsum(
+            "kij,kjl->kil", R_all, Rcorr,
+            precision=jax.lax.Precision.HIGHEST))
+        t_dist = t_all + d_t[None, :] * frac[:, None]
+        R_all = jnp.where(okl_m, R_dist, R_all)
+        t_all = jnp.where(okl_m, t_dist, t_all)
 
-    # rebuild the map at the corrected poses (insert-only scan)
-    def rebuild_step(carry, k):
-        map_pts, map_msk = carry
-        active = k <= span_len
-        map_pts, map_msk = insert(map_pts, map_msk, k, ext_pts[k],
-                                  ext_mask[k], R_all[k], t_all[k], active)
-        return (map_pts, map_msk), None
+        # rebuild the map at the corrected poses (insert-only scan)
+        def rebuild_step(carry, k):
+            map_pts, map_msk = carry
+            active = k <= span_len
+            map_pts, map_msk = insert(map_pts, map_msk, k, ext_pts[k],
+                                      ext_mask[k], R_all[k], t_all[k],
+                                      active)
+            return (map_pts, map_msk), None
 
-    (map_pts, map_msk), _ = jax.lax.scan(
-        rebuild_step, (map_pts, map_msk), jnp.arange(1, max_span + 1))
+        (map_pts, map_msk), _ = jax.lax.scan(
+            rebuild_step, (map_pts, map_msk), jnp.arange(1, max_span + 1))
 
-    (map_pts, map_msk, R_all, t_all), (oks3, _, r1s) = jax.lax.scan(
-        polish_step, (map_pts, map_msk, R_all, t_all),
-        jnp.arange(1, max_span + 1))
-    oks2 = oks2 | oks3
+        (map_pts, map_msk, R_all, t_all), (oks3, _, r1s) = jax.lax.scan(
+            polish_step, (map_pts, map_msk, R_all, t_all),
+            jnp.arange(1, max_span + 1))
+        oks2 = oks2 | oks3
 
     # ---- sweep 3: healthy-to-healthy span closure.  The burst block can
     # end internally consistent but rigidly offset from the world (each

@@ -108,19 +108,24 @@ def main():
         degraded_spans = [(int(150 * f), int(190 * f), 0.8, 140.0),
                           (int(345 * f), int(372 * f), 0.5, 80.0)]
     if args.degraded_turn:
-        # full-strength burst crossing the first 20 deg/s turn (~85-130):
-        # the regime where consecutive degraded frames share one
-        # sensor-locked wedge and pairwise evidence is degenerate
+        # catastrophic burst crossing the first 20 deg/s turn (~85-130):
+        # 0.9 dropout + a 200 deg occluded wedge leaves ~5% of returns in
+        # one sensor-locked sector — the descriptor front end breaks and
+        # constant-velocity paints a straight line through the corner
+        # (dejumped ATE balloons), which is the regime the multi-frame
+        # burst rescue exists for.  (At 0.8/140 deg the front end's
+        # motion-prior retries still hold the turn and the dejumped ATE
+        # stays at the clean baseline — no rescue headroom to measure.)
         f = args.frames / 520.0
         degraded_spans = (degraded_spans or []) + [
-            (int(88 * f), int(128 * f), 0.8, 140.0)]
+            (int(88 * f), int(128 * f), 0.9, 200.0)]
         args.degraded = True
     cache_file = ""
     if args.scan_cache:
         import os
 
         os.makedirs(args.scan_cache, exist_ok=True)
-        tag = ("degturn" if args.degraded_turn
+        tag = ("degturn2" if args.degraded_turn
                else "deg" if args.degraded else "clean")
         cache_file = os.path.join(
             args.scan_cache, f"hb_{args.frames}_{args.seed}_{tag}.npz")

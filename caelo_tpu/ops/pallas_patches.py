@@ -66,7 +66,7 @@ def gather_planes_pallas(table2: jnp.ndarray, slot: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(K // CK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (CK, NBR, P * P), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM),

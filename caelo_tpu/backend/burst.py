@@ -439,16 +439,48 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
 
             Rt = np.asarray(R_cl, np.float64)
             tt = np.asarray(t_cl, np.float64)
-            d_rotvec = Rotation.from_matrix(Rc.T @ Rt).as_rotvec() / L
-            d_t = (tt - tc) / L
-            prev = (np.eye(3), np.zeros(3))
-            for k in range(1, L + 1):
-                Rk = cum[k][0] @ Rotation.from_rotvec(
-                    d_rotvec * k).as_matrix()
-                tk = cum[k][1] + d_t * k
-                nR[k - 1] = prev[0].T @ Rk
-                nT[k - 1] = prev[0].T @ (tk - prev[1])
-                prev = (Rk, tk)
+
+            def redistribute(nR, nT):
+                """Distribute the chain-vs-closure endpoint mismatch
+                smoothly over the span (backward_update-style)."""
+                cum = [(np.eye(3), np.zeros(3))]
+                for k in range(L):
+                    Ck, ck = cum[-1]
+                    cum.append((Ck @ nR[k], Ck @ nT[k] + ck))
+                Rc, tc = cum[L]
+                d_rotvec = Rotation.from_matrix(Rc.T @ Rt).as_rotvec() / L
+                d_t = (tt - tc) / L
+                prev = (np.eye(3), np.zeros(3))
+                for k in range(1, L + 1):
+                    Rk = cum[k][0] @ Rotation.from_rotvec(
+                        d_rotvec * k).as_matrix()
+                    tk = cum[k][1] + d_t * k
+                    nR[k - 1] = prev[0].T @ Rk
+                    nT[k - 1] = prev[0].T @ (tk - prev[1])
+                    prev = (Rk, tk)
+                return nR, nT
+
+            nR, nT = redistribute(nR, nT)
+            # Smooth the span's rel sequence: at heavy degradation the
+            # per-pair error is dominated by INDEPENDENT per-frame solve
+            # noise (each frame registers against the map on ~5% of
+            # returns), while real vehicle motion is smooth at frame rate
+            # (a 20 deg/s turn is a steady 2 deg/frame).  A [1,2,1]/4
+            # kernel on the rotation-vector/translation increments cuts
+            # the independent noise ~1.6x and preserves the chain total
+            # to first order; the closure is then re-distributed so the
+            # verified endpoint stays exact.
+            if L >= 4:
+                rv = Rotation.from_matrix(nR).as_rotvec()
+
+                def smooth(x):
+                    y = x.copy()
+                    y[1:-1] = 0.25 * x[:-2] + 0.5 * x[1:-1] + 0.25 * x[2:]
+                    return y
+
+                nR = Rotation.from_rotvec(smooth(rv)).as_matrix()
+                nT = smooth(nT)
+                nR, nT = redistribute(nR, nT)
         import os
         if os.environ.get("CAELO_DEBUG_BURST"):
             np.savez(os.environ["CAELO_DEBUG_BURST"] + f"_{a}_{b}.npz",

@@ -302,7 +302,7 @@ def burst_map_icp(ext_pts: jnp.ndarray, ext_mask: jnp.ndarray,
     anchor_ref = map_msk & (slot_ids == 0)
     exit_pc = ext_pts[span_len]
     exit_msk = ext_mask[span_len]
-    R_cl, t_cl, ok_cl, _, _ = icp_vs_map(
+    R_cl, t_cl, ok_cl, _, cl_res = icp_vs_map(
         exit_pc, exit_msk, map_pts, anchor_ref,
         R_all[span_len], t_all[span_len])
 
@@ -321,7 +321,8 @@ def burst_map_icp(ext_pts: jnp.ndarray, ext_mask: jnp.ndarray,
     rTs = jnp.where(active[:, None], rTs, rel_ts)
     # r0s/r1s: residual at the input vs final pose, BOTH against the
     # complete self-excluded map (sweep 2) — the residual-gain evidence
-    return rRs, rTs, (oks | oks2) & active, r0s, r1s, R_cl, t_cl, ok_cl
+    return (rRs, rTs, (oks | oks2) & active, r0s, r1s,
+            R_cl, t_cl, ok_cl, cl_res)
 
 
 @dataclasses.dataclass
@@ -330,6 +331,9 @@ class BurstStats:
     accepted: List = dataclasses.field(default_factory=list)
     rejected: List = dataclasses.field(default_factory=list)
     gains: List = dataclasses.field(default_factory=list)      # (r0, r1)
+    # per span: the accepted closure evidence ("descriptor(N)" /
+    # "icp(res)" / None)
+    closures: List = dataclasses.field(default_factory=list)
 
 
 def find_burst_spans(healthy: np.ndarray, min_burst: int = 4,
@@ -362,7 +366,8 @@ def find_burst_spans(healthy: np.ndarray, min_burst: int = 4,
 
 def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
                   cfg: PipelineConfig, min_burst: int = 4,
-                  max_span: int = 62, thr_scale: float = 2.0):
+                  max_span: int = 62, thr_scale: float = 2.0,
+                  anchor_register_fn=None):
     """Apply burst map-ICP rescue to every qualifying unhealthy span of a
     refined trajectory.  One device call per burst span; acceptance is the
     same residual-gain evidence gate as pairwise refinement
@@ -396,7 +401,7 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
         relT = np.stack([t for _, t in rels]
                         + [np.zeros(3)] * (ms - L)).astype(np.float32)
         (rRs, rTs, oks, r0s, r1s,
-         R_cl, t_cl, ok_cl) = burst_map_icp(
+         R_cl, t_cl, ok_cl, cl_res) = burst_map_icp(
             fp.ext_pts, fp.ext_mask, jnp.asarray(relR), jnp.asarray(relT),
             jnp.asarray(L, jnp.int32), icp_cfg=cfg.icp, max_span=ms,
             frame_budget=frame_budget, thr_scale=thr_scale)
@@ -406,21 +411,44 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
         stats.gains.append((r0, r1))
         nR = np.asarray(rRs, np.float64)[:L]
         nT = np.asarray(rTs, np.float64)[:L]
-        # healthy-to-healthy closure plausibility (the block-offset
-        # repair's evidence; see burst_map_icp sweep 3): a closure
-        # implying a correction beyond ~20% of span path length is a
-        # mismatched registration, not evidence.
+        # Healthy-to-healthy closure: the block-offset repair's evidence.
+        # Two sources, by precision:
+        #   1. descriptor RANSAC between the two anchors, seeded with the
+        #      solved chain as a motion prior — precise and independently
+        #      verified by its inlier consensus (the map-ICP endpoint on a
+        #      long straight span can drift metres laterally while still
+        #      "converging": measured, it dragged a good input trajectory
+        #      from ATE 13.2 to 20.2);
+        #   2. the map-ICP exit registration, accepted only when its
+        #      converged residual is tight (<= 0.35 m).
+        # Either way the implied correction must stay within the
+        # plausibility bound (20% of span path).
         closure_ok = False
+        closure_src = None
         cum = [(np.eye(3), np.zeros(3))]
         for k in range(L):
             Ck, ck = cum[-1]
             cum.append((Ck @ nR[k], Ck @ nT[k] + ck))
         Rc, tc = cum[L]
-        if bool(ok_cl) and oks.all():
-            tt = np.asarray(t_cl, np.float64)
-            path = float(np.sum(np.linalg.norm(nT, axis=1)))
-            miss = float(np.linalg.norm(tt - tc))
-            closure_ok = miss <= max(1.0, 0.2 * path)
+        path = float(np.sum(np.linalg.norm(nT, axis=1)))
+        bound = max(1.0, 0.2 * path)
+        R_cl = np.asarray(R_cl, np.float64)
+        t_cl = np.asarray(t_cl, np.float64)
+        if anchor_register_fn is not None and oks.all():
+            # prior = the best available absolute estimate of rel(a, b)
+            pR, pt = (R_cl, t_cl) if bool(ok_cl) else (Rc, tc)
+            Rd, td, okd, n_inl = anchor_register_fn(a, b, pR, pt)
+            if okd and np.linalg.norm(np.asarray(td) - tc) <= bound:
+                R_cl = np.asarray(Rd, np.float64)
+                t_cl = np.asarray(td, np.float64)
+                closure_ok = True
+                closure_src = f"descriptor({int(n_inl)})"
+        if (not closure_ok and bool(ok_cl) and oks.all()
+                and float(cl_res) <= 0.35
+                and np.linalg.norm(t_cl - tc) <= bound):
+            closure_ok = True
+            closure_src = f"icp({float(cl_res):.2f})"
+        stats.closures.append((a, b, closure_src))
         # Evidence-weighted acceptance: the residual-gain requirement
         # halves when the independent exit-anchor closure verified AND
         # sits within the plausibility bound — two agreeing measurements
@@ -437,8 +465,8 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
         if closure_ok:
             from scipy.spatial.transform import Rotation
 
-            Rt = np.asarray(R_cl, np.float64)
-            tt = np.asarray(t_cl, np.float64)
+            Rt = R_cl
+            tt = t_cl
 
             def redistribute(nR, nT):
                 """Distribute the chain-vs-closure endpoint mismatch

@@ -666,10 +666,35 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
             R0, t0 = refine._rt(pose0)
             return refine._row(R0 @ np.asarray(dR), R0 @ np.asarray(dt) + t0)
 
+        # Anchor-to-anchor closure via the descriptor front end: a
+        # prior-seeded RANSAC registration of the two healthy full-view
+        # anchors (precise + inlier-verified; the map-ICP endpoint can
+        # drift laterally on long straight spans while "converging")
+        akey = jax.random.key(seed + 31)
+
+        def anchor_register_fn(i, j, R_prior, t_prior):
+            from .frontend.registration import register_pair_with_prior
+
+            f_i = jax.tree.map(lambda x: x[int(i)], feats)
+            f_j = jax.tree.map(lambda x: x[int(j)], feats)
+            reg = register_pair_with_prior(
+                jax.random.fold_in(akey, int(i)), f_i, f_j,
+                jnp.asarray(R_prior, jnp.float32),
+                jnp.asarray(t_prior, jnp.float32), cfg, gate_m=5.0)
+            return (np.asarray(reg.R, np.float64),
+                    np.asarray(reg.t, np.float64), bool(reg.success),
+                    int(reg.n_inliers))
+
         with timer.stage("burst_rescue"):
             poses_ref, burst_stats = rescue_bursts(
                 poses_ref, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
-                cfg)
+                cfg, anchor_register_fn=anchor_register_fn)
+        if burst_stats.spans:
+            import sys
+
+            print(f"burst rescue: spans {burst_stats.spans} accepted "
+                  f"{burst_stats.accepted} closures {burst_stats.closures}",
+                  file=sys.stderr)
         if metrics and burst_stats.spans:
             metrics.log("burst_rescue", spans=len(burst_stats.spans),
                         accepted=len(burst_stats.accepted))

@@ -97,7 +97,7 @@ def test_burst_map_icp_recovers_turn():
 
     icp_cfg = IcpConfig(max_points=E, max_iters=20, min_inliers=60)
     max_span = n_frames - 1
-    rRs, rTs, oks, r0s, r1s, R_cl, t_cl, ok_cl = burst_map_icp(
+    rRs, rTs, oks, r0s, r1s, R_cl, t_cl, ok_cl, cl_res = burst_map_icp(
         jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msk)),
         jnp.asarray(np.stack(init_R), jnp.float32),
         jnp.asarray(np.stack(init_t), jnp.float32),

@@ -367,7 +367,7 @@ def find_burst_spans(healthy: np.ndarray, min_burst: int = 4,
 def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
                   cfg: PipelineConfig, min_burst: int = 4,
                   max_span: int = 62, thr_scale: float = 2.0,
-                  anchor_register_fn=None):
+                  anchor_register_fn=None, pair_icp_fn=None):
     """Apply burst map-ICP rescue to every qualifying unhealthy span of a
     refined trajectory.  One device call per burst span; acceptance is the
     same residual-gain evidence gate as pairwise refinement
@@ -434,11 +434,18 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
         bound = max(1.0, 0.2 * path)
         R_cl = np.asarray(R_cl, np.float64)
         t_cl = np.asarray(t_cl, np.float64)
+        okd, n_inl, d_miss = False, 0, -1.0
         if anchor_register_fn is not None and oks.all():
             # prior = the best available absolute estimate of rel(a, b)
             pR, pt = (R_cl, t_cl) if bool(ok_cl) else (Rc, tc)
             Rd, td, okd, n_inl = anchor_register_fn(a, b, pR, pt)
-            if okd and np.linalg.norm(np.asarray(td) - tc) <= bound:
+            d_miss = float(np.linalg.norm(np.asarray(td) - tc))
+            # the descriptor closure is self-verified by its inlier
+            # consensus; the chain-agreement bound only needs to exclude
+            # aliased matches (measured: a 72 m off-consensus at one
+            # seed), not genuine block offsets on short spans — floor 3 m,
+            # cap 12 m
+            if okd and d_miss <= float(np.clip(0.2 * path, 3.0, 12.0)):
                 R_cl = np.asarray(Rd, np.float64)
                 t_cl = np.asarray(td, np.float64)
                 closure_ok = True
@@ -448,7 +455,16 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
                 and np.linalg.norm(t_cl - tc) <= bound):
             closure_ok = True
             closure_src = f"icp({float(cl_res):.2f})"
-        stats.closures.append((a, b, closure_src))
+        if closure_src is None:
+            # diagnostic record of WHY both sources were refused
+            closure_src = (f"none(desc_ok={bool(okd)},ni={int(n_inl)},"
+                           f"dmiss={d_miss:.1f},icp_ok={bool(ok_cl)},"
+                           f"res={float(cl_res):.2f},"
+                           f"imiss={float(np.linalg.norm(t_cl - tc)):.1f})")
+            stats.closures.append((a, b, closure_src))
+            closure_src = None
+        else:
+            stats.closures.append((a, b, closure_src))
         # Evidence-weighted acceptance: the residual-gain requirement
         # halves when the independent exit-anchor closure verified AND
         # sits within the plausibility bound — two agreeing measurements
@@ -499,16 +515,46 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
             # to first order; the closure is then re-distributed so the
             # verified endpoint stays exact.
             if L >= 4:
-                rv = Rotation.from_matrix(nR).as_rotvec()
-
                 def smooth(x):
                     y = x.copy()
                     y[1:-1] = 0.25 * x[:-2] + 0.5 * x[1:-1] + 0.25 * x[2:]
                     return y
 
-                nR = Rotation.from_rotvec(smooth(rv)).as_matrix()
-                nT = smooth(nT)
-                nR, nT = redistribute(nR, nT)
+                # two passes (~[1,4,6,4,1]/16): symmetric kernels are
+                # exact for linear motion trends (a steady turn), so the
+                # extra width only removes more independent solve noise
+                for _ in range(2):
+                    rv = Rotation.from_matrix(nR).as_rotvec()
+                    nR = Rotation.from_rotvec(smooth(rv)).as_matrix()
+                    nT = smooth(nT)
+                    nR, nT = redistribute(nR, nT)
+            # Per-pair polish: consecutive burst frames see the SAME wedge
+            # (fully overlapping views), so pairwise hybrid ICP constrains
+            # their REL precisely once the initialization is right — the
+            # regime where it was degenerate was absolute placement, which
+            # the map solve + closure just fixed.  Tight acceptance (the
+            # correction must be small) keeps sensor-locked bias out; the
+            # closure is re-distributed after, so the verified endpoint
+            # stays exact.
+            if pair_icp_fn is not None:
+                ii = np.arange(a, b, dtype=np.int32)
+                dRs, dts, poks, _, _ = pair_icp_fn(
+                    ii, ii + 1, nR.astype(np.float32),
+                    nT.astype(np.float32), thr_scale=1.0)
+                n_pol = 0
+                for k in range(L):
+                    if not bool(poks[k]):
+                        continue
+                    dR = np.asarray(dRs[k], np.float64)
+                    dt = np.asarray(dts[k], np.float64)
+                    ang = np.degrees(np.arccos(np.clip(
+                        (np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)))
+                    if ang <= 0.5 and np.linalg.norm(dt) <= 0.3:
+                        nR[k] = dR @ nR[k]
+                        nT[k] = dR @ nT[k] + dt
+                        n_pol += 1
+                if n_pol:
+                    nR, nT = redistribute(nR, nT)
         import os
         if os.environ.get("CAELO_DEBUG_BURST"):
             np.savez(os.environ["CAELO_DEBUG_BURST"] + f"_{a}_{b}.npz",

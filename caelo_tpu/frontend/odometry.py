@@ -210,16 +210,45 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
 
     # double-buffered producer/consumer (the reference hides loader latency
     # with 4 subprocesses, PoseEstimation.py:91-119; here XLA's async
-    # dispatch computes window k+1 while the host consumes window k)
+    # dispatch computes window k+1 while the host consumes window k).
+    # Window STAGING (disk read + np.stack of ~134 MB at window 64) runs in
+    # a background thread so it overlaps the device compute too — at
+    # sequence scale the staging path was the frontend bottleneck
+    # (measured: 73 ms/frame e2e vs the 33 ms/frame steady-state of the
+    # same window program on resident inputs).
+    import queue as _queue
+    import threading
+
+    starts = []
+    s0 = 0
+    while s0 < n - 1:
+        starts.append(s0)
+        s0 = min(s0 + window, n) - 1
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+    def producer():
+        for start in starts:
+            stop = min(start + window, n)
+            idx = list(range(start, stop))
+            idx_p = idx + [idx[-1]] * (window - len(idx))
+            pts = np.stack([np.asarray(scans[i][0]) for i in idx_p])
+            msk = np.stack([np.asarray(scans[i][1]) for i in idx_p])
+            q.put((start, idx, pts, msk))
+        q.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+
     pending = None
-    start = 0
-    while start < n - 1:
-        stop = min(start + window, n)
-        idx = list(range(start, stop))
-        pad = window - len(idx)
-        idx_p = idx + [idx[-1]] * pad          # repeat last frame as padding
-        pts = jnp.stack([jnp.asarray(scans[i][0]) for i in idx_p])
-        msk = jnp.stack([jnp.asarray(scans[i][1]) for i in idx_p])
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        start, idx, pts_np, msk_np = item
+        pts = jnp.asarray(pts_np)
+        msk = jnp.asarray(msk_np)
+        del pts_np, msk_np, item
         key, sub = jax.random.split(key)
         if keep_refine_features:
             feats, ref_feats, regs = process(
@@ -231,7 +260,7 @@ def run_odometry_windowed(scans, respond_params, encoder_params,
         if pending is not None:
             consume(*pending)
         pending = (start, idx, feats, ref_feats, regs)
-        start = stop - 1                        # 1-frame overlap
+    th.join()
     if pending is not None:
         consume(*pending)
 

@@ -672,6 +672,13 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
         # drift laterally on long straight spans while "converging")
         akey = jax.random.key(seed + 31)
 
+        # anchors sit a full burst apart (~30-50 m): fewer co-visible
+        # keypoints than consecutive frames, so the absolute inlier floor
+        # relaxes to 60 — the result is additionally chain-agreement
+        # checked in rescue_bursts
+        anchor_cfg = dataclasses.replace(
+            cfg, ransac=dataclasses.replace(cfg.ransac, min_inlier_abs=60))
+
         def anchor_register_fn(i, j, R_prior, t_prior):
             from .frontend.registration import register_pair_with_prior
 
@@ -680,15 +687,18 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
             reg = register_pair_with_prior(
                 jax.random.fold_in(akey, int(i)), f_i, f_j,
                 jnp.asarray(R_prior, jnp.float32),
-                jnp.asarray(t_prior, jnp.float32), cfg, gate_m=5.0)
+                jnp.asarray(t_prior, jnp.float32), anchor_cfg, gate_m=5.0)
             return (np.asarray(reg.R, np.float64),
                     np.asarray(reg.t, np.float64), bool(reg.success),
                     int(reg.n_inliers))
 
+        from .backend.refine_runner import make_batched_icp_fn
+
         with timer.stage("burst_rescue"):
             poses_ref, burst_stats = rescue_bursts(
                 poses_ref, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
-                cfg, anchor_register_fn=anchor_register_fn)
+                cfg, anchor_register_fn=anchor_register_fn,
+                pair_icp_fn=make_batched_icp_fn(ref_feats, cfg))
         if burst_stats.spans:
             import sys
 

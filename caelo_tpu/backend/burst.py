@@ -455,6 +455,30 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
                 and np.linalg.norm(t_cl - tc) <= bound):
             closure_ok = True
             closure_src = f"icp({float(cl_res):.2f})"
+        if closure_ok and pair_icp_fn is not None:
+            # Dense polish of the anchor closure.  The closure rel is the
+            # rescue's referee AND becomes the span's endpoint — it
+            # re-chains the whole downstream trajectory, so its ROTATION
+            # precision is the lever (0.5 deg swings a 300 m tail metres;
+            # measured: refined ATE varied 13.3-18.8 across RNG seeds
+            # purely with the closure draw).  Both anchors are healthy
+            # full-view frames, so hybrid pairwise ICP seeded at the
+            # RANSAC estimate pins the rel far tighter than the sparse
+            # descriptor consensus.  Small corrections only: it must
+            # refine the closure, not re-register it.
+            pdR, pdt, pok, _, _ = pair_icp_fn(
+                np.array([a], np.int32), np.array([b], np.int32),
+                R_cl[None].astype(np.float32),
+                t_cl[None].astype(np.float32), thr_scale=2.0)
+            pR0 = np.asarray(pdR[0], np.float64)
+            pt0 = np.asarray(pdt[0], np.float64)
+            pang = float(np.degrees(np.arccos(np.clip(
+                (np.trace(pR0) - 1.0) / 2.0, -1.0, 1.0))))
+            pmag = float(np.linalg.norm(pt0))
+            if bool(pok[0]) and pang <= 2.0 and pmag <= 2.0:
+                R_cl = pR0 @ R_cl
+                t_cl = pR0 @ t_cl + pt0
+                closure_src += f"+polish({pang:.2f}d,{pmag:.2f}m)"
         if closure_src is None:
             # diagnostic record of WHY both sources were refused
             closure_src = (f"none(desc_ok={bool(okd)},ni={int(n_inl)},"
@@ -463,7 +487,41 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
                            f"imiss={float(np.linalg.norm(t_cl - tc)):.1f})")
             stats.closures.append((a, b, closure_src))
             closure_src = None
-        else:
+        # Comparative acceptance (the closure referees the INCUMBENT too):
+        # the map solution's residual gain only says it fits its own
+        # progressively built map better than the incumbent did — on
+        # sensor-locked wedges that map is itself biased, so the gain
+        # cannot detect that the incumbent was already RIGHT.  The
+        # verified full-view anchor closure can: if the incumbent chain's
+        # endpoint already agrees with it, the incumbent's absolute
+        # placement is correct and splicing in the map solution can only
+        # inject interior bias (measured across RNG seeds: the same
+        # replacement that repairs a 25.6 m trajectory to 18.8 drags a
+        # lucky 13.2 m draw to 18.3).  Keep the incumbent rels and only
+        # redistribute the (small) closure miss over the span.
+        incumbent_kept = False
+        if closure_ok:
+            RcI, tcI = np.eye(3), np.zeros(3)
+            for k in range(L):
+                RcI, tcI = (RcI @ np.asarray(relR[k], np.float64),
+                            RcI @ np.asarray(relT[k], np.float64) + tcI)
+            missI = float(np.linalg.norm(t_cl - tcI))
+            angI = float(np.degrees(np.arccos(np.clip(
+                (np.trace(RcI.T @ R_cl) - 1.0) / 2.0, -1.0, 1.0))))
+            import sys
+            print(f"burst span ({a}, {b}): incumbent-vs-closure miss "
+                  f"{missI:.2f} m / {angI:.2f} deg (keep bound "
+                  f"{max(2.0, 0.04 * path):.1f} m / 1.0 deg)",
+                  file=sys.stderr)
+            if missI <= max(2.0, 0.04 * path) and angI <= 1.0:
+                incumbent_kept = True
+                nR = np.stack([np.asarray(relR[k], np.float64)
+                               for k in range(L)])
+                nT = np.stack([np.asarray(relT[k], np.float64)
+                               for k in range(L)])
+                closure_src = (closure_src or "") + \
+                    f"|incumbent(miss={missI:.2f}m,{angI:.2f}deg)"
+        if closure_src is not None:
             stats.closures.append((a, b, closure_src))
         # Evidence-weighted acceptance: the residual-gain requirement
         # halves when the independent exit-anchor closure verified AND
@@ -475,7 +533,7 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
         gain_ok = (oks.mean() >= 0.5
                    and (r0 - r1) >= max(gain_frac * r0,
                                         rcfg.residual_gain_floor_m))
-        if not gain_ok:
+        if not gain_ok and not incumbent_kept:
             stats.rejected.append((a, b))
             continue
         if closure_ok:
@@ -514,7 +572,7 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
             # the independent noise ~1.6x and preserves the chain total
             # to first order; the closure is then re-distributed so the
             # verified endpoint stays exact.
-            if L >= 4:
+            if L >= 4 and not incumbent_kept:
                 def smooth(x):
                     y = x.copy()
                     y[1:-1] = 0.25 * x[:-2] + 0.5 * x[1:-1] + 0.25 * x[2:]
@@ -536,7 +594,7 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
             # correction must be small) keeps sensor-locked bias out; the
             # closure is re-distributed after, so the verified endpoint
             # stays exact.
-            if pair_icp_fn is not None:
+            if pair_icp_fn is not None and not incumbent_kept:
                 ii = np.arange(a, b, dtype=np.int32)
                 dRs, dts, poks, _, _ = pair_icp_fn(
                     ii, ii + 1, nR.astype(np.float32),

@@ -625,11 +625,28 @@ def run_full_pipeline(scans: Iterable, respond_params, encoder_params,
     # ---- stage 3: keyframe-transfer ICP refinement (features reused from
     # stage 1's window program — the reference reloads KeyPts/*.mat here,
     # RefinePoses.py:276-277)
+    # Pairs inside qualifying degradation bursts are EXCLUDED from the
+    # pairwise refine pass: consecutive burst frames see the same
+    # sensor-locked wedge, so pairwise re-registration there is degenerate
+    # — it can corrupt a front-end chain that SURVIVED the burst (measured
+    # at one RNG seed: the refine pass dragged the span chain 20 m /
+    # 30 deg off the verified anchor closure while the dejumped global ATE
+    # sat at the clean-circuit bound).  Stage 3b (burst rescue) owns those
+    # spans: scan-to-local-map solves plus anchor-closure evidence.
+    refine_trusted = pair_trusted
+    if enable_refinement and not np.all(healthy):
+        from .backend.burst import find_burst_spans
+
+        bspans = find_burst_spans(healthy)
+        if bspans:
+            refine_trusted = pair_trusted.copy()
+            for (_a, _b) in bspans:
+                refine_trusted[_a:_b] = True
     if enable_refinement:
         with timer.stage("refine"):
             poses_ref, stats = stage_refinement(
                 poses_dj, ref_feats, odo.inlier_pairs, R_tr, t_tr, cfg,
-                batched=batched_refine, pair_trusted=pair_trusted,
+                batched=batched_refine, pair_trusted=refine_trusted,
             )
         if metrics:
             metrics.log("refine", refined=len(stats.refined),

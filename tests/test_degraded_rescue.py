@@ -43,6 +43,14 @@ def test_refinement_rescues_degraded_burst():
     ate_ref = absolute_trajectory_error(gt, res.poses_refined)["ate_rmse"]
     # the burst must actually hurt the front end...
     assert not res.odometry.successes.all()
-    # ...and refinement must actively repair, not merely not-degrade
-    assert len(res.refine_stats.refined) > 0
+    # ...and the rescue stages must actively repair, not merely
+    # not-degrade.  Burst spans are OWNED by stage 3b (multi-frame burst
+    # rescue, backend.burst): consecutive degraded frames share one
+    # sensor-locked wedge, so pairwise re-registration there is degenerate
+    # and is skipped by design — the repair evidence is the accepted burst
+    # span (same ``acted`` semantics as examples/hard_benchmark.py).
+    bs = res.burst_stats
+    acted = (len(res.refine_stats.refined) > 0
+             or (bs is not None and len(bs.accepted) > 0))
+    assert acted, (res.refine_stats, bs)
     assert ate_ref <= 0.9 * ate_dj, (ate_dj, ate_ref)

@@ -500,11 +500,11 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
         # lucky 13.2 m draw to 18.3).  Keep the incumbent rels and only
         # redistribute the (small) closure miss over the span.
         incumbent_kept = False
+        RcI, tcI = np.eye(3), np.zeros(3)
+        for k in range(L):
+            RcI, tcI = (RcI @ np.asarray(relR[k], np.float64),
+                        RcI @ np.asarray(relT[k], np.float64) + tcI)
         if closure_ok:
-            RcI, tcI = np.eye(3), np.zeros(3)
-            for k in range(L):
-                RcI, tcI = (RcI @ np.asarray(relR[k], np.float64),
-                            RcI @ np.asarray(relT[k], np.float64) + tcI)
             missI = float(np.linalg.norm(t_cl - tcI))
             angI = float(np.degrees(np.arccos(np.clip(
                 (np.trace(RcI.T @ R_cl) - 1.0) / 2.0, -1.0, 1.0))))
@@ -521,6 +521,45 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
                                for k in range(L)])
                 closure_src = (closure_src or "") + \
                     f"|incumbent(miss={missI:.2f}m,{angI:.2f}deg)"
+        elif okd:
+            # The solve has NO verified closure, but the descriptor
+            # anchor-to-anchor registration EXISTS and is inlier-verified
+            # between two healthy full-view frames — it was refused above
+            # only because the SOLVE disagreed with it (dmiss > cap),
+            # which indicts the solve, not the referee.  Check the
+            # incumbent against the descriptor rel directly: if they
+            # agree, the incumbent's absolute placement is independently
+            # confirmed and the unverified map solution must not replace
+            # it (measured, window 64 / degraded seed 2: a gain-only
+            # acceptance with dmiss 43.8 m dragged a healthy 13.2 m
+            # dejumped trajectory to 22.2).  Keep the incumbent, pin its
+            # endpoint to the descriptor closure.  Bounds are slightly
+            # looser than the verified-closure keep (the raw descriptor
+            # rel carries up to ~1.4 m before dense polish).
+            tdv = np.asarray(td, np.float64)
+            Rdv = np.asarray(Rd, np.float64)
+            missI = float(np.linalg.norm(tdv - tcI))
+            angI = float(np.degrees(np.arccos(np.clip(
+                (np.trace(RcI.T @ Rdv) - 1.0) / 2.0, -1.0, 1.0))))
+            import sys
+            print(f"burst span ({a}, {b}): incumbent-vs-DESCRIPTOR miss "
+                  f"{missI:.2f} m / {angI:.2f} deg (keep bound "
+                  f"{max(3.0, 0.05 * path):.1f} m / 1.5 deg; solve "
+                  f"unverified)", file=sys.stderr)
+            if missI <= max(3.0, 0.05 * path) and angI <= 1.5:
+                incumbent_kept = True
+                closure_ok = True
+                R_cl, t_cl = Rdv, tdv
+                nR = np.stack([np.asarray(relR[k], np.float64)
+                               for k in range(L)])
+                nT = np.stack([np.asarray(relT[k], np.float64)
+                               for k in range(L)])
+                closure_src = (f"descriptor({int(n_inl)})|incumbent"
+                               f"(miss={missI:.2f}m,{angI:.2f}deg,"
+                               f"solve_refused)")
+                # replace the refusal diagnostic recorded above
+                if stats.closures and stats.closures[-1][:2] == (a, b):
+                    stats.closures.pop()
         if closure_src is not None:
             stats.closures.append((a, b, closure_src))
         # Evidence-weighted acceptance: the residual-gain requirement
@@ -533,6 +572,27 @@ def rescue_bursts(poses, ref_feats, healthy, rel_lidar_fn, apply_rel_fn,
         gain_ok = (oks.mean() >= 0.5
                    and (r0 - r1) >= max(gain_frac * r0,
                                         rcfg.residual_gain_floor_m))
+        # Unverified solves (no anchor closure passed) may only apply a
+        # PLAUSIBLE correction: the splice endpoint must stay within the
+        # drift bound of the incumbent chain (same bound family as the
+        # icp-closure gate).  Residual gain alone cannot referee a large
+        # correction — the map it improves against is itself built from
+        # the solve (measured, window 64 / degraded seed 2: a gain-only
+        # acceptance moved the endpoint far off a healthy incumbent and
+        # dragged ATE 13.2 -> 22.2 m; the descriptor, solve and incumbent
+        # all mutually disagreed, so NOTHING was verified).
+        if not closure_ok and not incumbent_kept:
+            corr_t = float(np.linalg.norm(tc - tcI))
+            corr_a = float(np.degrees(np.arccos(np.clip(
+                (np.trace(RcI.T @ Rc) - 1.0) / 2.0, -1.0, 1.0))))
+            import sys
+            print(f"burst span ({a}, {b}): UNVERIFIED solve correction "
+                  f"{corr_t:.2f} m / {corr_a:.2f} deg vs incumbent "
+                  f"(plausibility bound {bound:.1f} m / 5.0 deg)",
+                  file=sys.stderr)
+            if corr_t > bound or corr_a > 5.0:
+                stats.rejected.append((a, b))
+                continue
         if not gain_ok and not incumbent_kept:
             stats.rejected.append((a, b))
             continue
